@@ -1,0 +1,171 @@
+"""Immutable configuration tree.
+
+Replaces the reference's global mutable `cfg` AttrDict singleton
+(`models/core/config.py:23-26` + YAML merge) with frozen dataclasses passed
+explicitly. `load_config` ingests the reference's YAML layout
+(`configs/danet_default.yaml`) so shipped configs keep working; unknown or
+Detectron-legacy keys are ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Sequence
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    base_lr: float = 1e-4
+    steps: tuple = (0, 30000, 60000)   # LR decays 10x at each step boundary
+    max_iter: int = 500000
+    optimizer: str = "adam"
+
+
+@dataclass(frozen=True)
+class RefinementConfig:
+    refine_on: bool = True
+    stack_num: int = 1
+    feat_dim: int = 128
+    gcn_num_layer: int = 3
+    pos_intersupv: bool = True
+
+
+@dataclass(frozen=True)
+class DaNetConfig:
+    """Model architecture + loss-weight operating point (YAML `DANET:` block)."""
+
+    img_size: int = 224
+    heatmap_size: int = 56
+    num_patches: int = 24
+    decomposed: bool = True
+    input_mode: str = "iuv"          # 'iuv' | 'iuv_gt' (oracle); ablations omitted
+    use_6d_rot: bool = True
+    iuv_regressor: str = "hrnet"     # 'hrnet' | 'resnet'
+    glo_num_layers: int = 18         # body-net ResNet depth
+    limb_num_layers: int = 18        # limb-net ResNet depth
+    smpl_model_type: str = "neutral"
+    gtcam_for_repj: bool = True
+    gtshape_for_repj: bool = True
+
+    # loss weights (YAML DANET:17-50)
+    index_weights: float = 2.0             # 15-part ann seg CE
+    part_weights: float = 0.3              # 25-patch point CE
+    point_regression_weights: float = 0.5  # sparse UV smooth-l1
+    smpl_pose_weights: float = 60.0
+    smpl_betas_weights: float = 0.06
+    proj_kps_weights: float = 300.0
+    kps3d_weights: float = 300.0
+    verts_weights: float = 0.0
+    orthogonal_weights: float = 0.0
+    joint_position_weights: float = 1.0
+    stn_kps_weights: float = 1.0
+    stn_hm_weights: float = 0.0
+
+    # STN (joint-centric RoI pooling)
+    stn_center_jitter: float = 0.1
+    stn_scale_jitter: float = 0.2
+    stn_part_vis_score: float = 0.5
+    use_learned_ratio: bool = True
+    partdrop_rate: float = 0.3
+
+    refine_strategy: str = "gcn"     # 'gcn' | 'gcn_direct' | 'lstm' | 'lstm_direct'
+    refinement: RefinementConfig = field(default_factory=RefinementConfig)
+
+    # backbone spec
+    msres_num_layers: int = 50       # PoseResNet depth when iuv_regressor='resnet'
+    hrnet_width: int = 48
+
+    # numerics
+    compute_dtype: str = "float32"   # 'bfloat16' flips conv/matmul activations
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 16
+    num_epochs: int = 10
+    pretr_step: int = 5000           # IUV-only pretrain steps (two-stage schedule)
+    openpose_train_weight: float = 0.0
+    gt_train_weight: float = 1.0
+    noise_factor: float = 0.4
+    rot_factor: float = 30.0
+    scale_factor: float = 0.25
+    checkpoint_steps: int = 20000
+    summary_steps: int = 100
+    vis_interval: int = 1000
+    test_steps: int = 10000
+    train_data: str = "h36m_dp"      # 'h36m_dp' | 'h36m_coco_itw'
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class Config:
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    danet: DaNetConfig = field(default_factory=DaNetConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def _lower_keys(d: dict) -> dict:
+    return {k.lower(): v for k, v in d.items()}
+
+
+def load_config(yaml_path: str | None = None, overrides: dict | None = None) -> Config:
+    """Build a Config, optionally merging a reference-layout YAML file.
+
+    Recognized YAML sections: SOLVER, DANET (incl. REFINEMENT), TRAIN.
+    Unknown keys (Detectron legacy, HR_MODEL/MSRES_MODEL architecture blocks
+    whose values are already our defaults) are skipped.
+    """
+    cfg = default_config()
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            raw = yaml.safe_load(f) or {}
+
+        if "SOLVER" in raw:
+            s = _lower_keys(raw["SOLVER"])
+            cfg = replace(
+                cfg,
+                solver=replace(
+                    cfg.solver,
+                    base_lr=float(s.get("base_lr", cfg.solver.base_lr)),
+                    steps=tuple(s.get("steps", cfg.solver.steps)),
+                    max_iter=int(s.get("max_iter", cfg.solver.max_iter)),
+                    optimizer=str(s.get("type", cfg.solver.optimizer)).lower(),
+                ),
+            )
+        if "DANET" in raw:
+            d = _lower_keys(raw["DANET"])
+            danet_fields = {f.name for f in dataclasses.fields(DaNetConfig)}
+            renames = {"inimg_size": "img_size"}
+            kw = {}
+            for k, v in d.items():
+                k = renames.get(k, k)
+                if k == "refinement":
+                    r = _lower_keys(v)
+                    kw["refinement"] = RefinementConfig(
+                        refine_on=bool(r.get("refine_on", True)),
+                        stack_num=int(r.get("stack_num", 1)),
+                        feat_dim=int(r.get("feat_dim", 128)),
+                        gcn_num_layer=int(r.get("gcn_num_layer", 3)),
+                        pos_intersupv=bool(r.get("pos_intersupv", True)),
+                    )
+                elif k in danet_fields:
+                    kw[k] = v
+            cfg = replace(cfg, danet=replace(cfg.danet, **kw))
+        if "TRAIN" in raw:
+            t = _lower_keys(raw["TRAIN"])
+            if "batch_size" in t:
+                cfg = replace(cfg, train=replace(cfg.train, batch_size=int(t["batch_size"])))
+
+    if overrides:
+        for dotted, v in overrides.items():
+            section, name = dotted.split(".", 1)
+            sub = getattr(cfg, section)
+            cfg = replace(cfg, **{section: replace(sub, **{name: v})})
+    return cfg

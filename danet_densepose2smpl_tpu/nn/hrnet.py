@@ -1,0 +1,125 @@
+"""HRNet-W48 backbone (pose_hrnet), NHWC.
+
+Parity: reference `models/module/hr_module.py:15-411` with the shipped YAML
+spec (`configs/danet_default.yaml:96-140`): stem (2x stride-2 conv) ->
+layer1 (4 Bottleneck@64) -> 3 multi-resolution stages of BasicBlocks with
+full cross-resolution fusion; stage widths (48, 96, 192, 384); output is the
+highest-resolution branch (48 ch at stride 4 = 56x56 for a 224 input).
+
+TPU notes: fusion upsampling is nearest-neighbor (as torch F.interpolate
+nearest) implemented with jnp.repeat — shape-static and fusable; all convs
+NHWC so XLA tiles channels onto the 128-lane axis.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from danet_densepose2smpl_tpu.nn.layers import BasicBlock, Bottleneck, NormAct, ResLayer, conv
+
+# (num_modules, num_branches, num_blocks per branch, channels per branch)
+HRNET_W48_STAGES = (
+    (1, 2, (4, 4), (48, 96)),
+    (4, 3, (4, 4, 4), (48, 96, 192)),
+    (3, 4, (4, 4, 4, 4), (48, 96, 192, 384)),
+)
+
+
+def _upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+class HRModule(nn.Module):
+    """One multi-resolution module: per-branch residual blocks + full fusion."""
+
+    num_branches: int
+    num_blocks: Sequence[int]
+    channels: Sequence[int]
+    multi_scale_output: bool = True
+    train: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xs):
+        common = dict(train=self.train, axis_name=self.axis_name)
+        ys = [
+            ResLayer(BasicBlock, self.channels[i], self.num_blocks[i], **common)(xs[i])
+            for i in range(self.num_branches)
+        ]
+
+        n_out = self.num_branches if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            acc = None
+            for j in range(self.num_branches):
+                y = ys[j]
+                if j > i:
+                    # lower-res -> i: 1x1 conv + BN then nearest upsample
+                    y = conv(self.channels[i], 1)(y)
+                    y = NormAct(not self.train, relu=False, axis_name=self.axis_name)(y)
+                    y = _upsample_nearest(y, 2 ** (j - i))
+                elif j < i:
+                    # higher-res -> i: (i-j) stride-2 3x3 convs; ReLU between,
+                    # none on the last (reference hr_module.py:150-176)
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        y = conv(self.channels[i] if last else self.channels[j], 3, 2)(y)
+                        y = NormAct(not self.train, relu=not last, axis_name=self.axis_name)(y)
+                acc = y if acc is None else acc + y
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class PoseHighResolutionNet(nn.Module):
+    """HRNet-W48; returns the 48-ch stride-4 feature map (B, 56, 56, 48)."""
+
+    stages: Sequence = HRNET_W48_STAGES
+    train: bool = False
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        common = dict(train=self.train, axis_name=self.axis_name)
+
+        # stem: two stride-2 3x3 convs -> 64ch stride 4
+        x = conv(64, 3, 2)(x)
+        x = NormAct(not self.train, axis_name=self.axis_name)(x)
+        x = conv(64, 3, 2)(x)
+        x = NormAct(not self.train, axis_name=self.axis_name)(x)
+        x = ResLayer(Bottleneck, 64, 4, **common)(x)  # -> 256 ch
+
+        xs = [x]
+        prev_channels = (256,)
+        for s_idx, (num_modules, num_branches, num_blocks, channels) in enumerate(self.stages):
+            # transition: adapt existing branches, spawn the new lowest one
+            new_xs = []
+            for i in range(num_branches):
+                if i < len(prev_channels):
+                    if prev_channels[i] != channels[i]:
+                        y = conv(channels[i], 3)(xs[i])
+                        y = NormAct(not self.train, axis_name=self.axis_name)(y)
+                    else:
+                        y = xs[i]
+                else:
+                    y = conv(channels[i], 3, 2)(xs[-1])
+                    y = NormAct(not self.train, axis_name=self.axis_name)(y)
+                new_xs.append(y)
+
+            last_stage = s_idx == len(self.stages) - 1
+            for m in range(num_modules):
+                mso = not (last_stage and m == num_modules - 1)
+                new_xs = HRModule(
+                    num_branches=num_branches,
+                    num_blocks=num_blocks,
+                    channels=channels,
+                    multi_scale_output=mso,
+                    **common,
+                )(new_xs)
+            xs = new_xs
+            prev_channels = channels
+
+        return xs[0]

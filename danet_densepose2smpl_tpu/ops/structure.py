@@ -119,3 +119,73 @@ def smpl_adjacency(max_hop: int = 1, normalize: str = "digraph") -> np.ndarray:
     else:
         raise ValueError(f"unknown normalize mode: {normalize}")
     return A.astype(np.float32)
+
+
+def smpl_chains() -> list:
+    """Ancestor chain (self -> ... -> root) per joint (reference
+    smpl_regressor.py:443-456)."""
+    chains = []
+    for i in range(NUM_SMPL_JOINTS):
+        chain = [i]
+        p = i
+        while p != 0:
+            p = int(SMPL_PARENT[p])
+            chain.append(p)
+        chains.append(chain)
+    return chains
+
+
+def rot2pos_adjacency() -> np.ndarray:
+    """Row-normalized (24, 24): each joint attends to its strict ancestors
+    (reference smpl_regressor.py:653-660)."""
+    A = np.zeros((NUM_SMPL_JOINTS, NUM_SMPL_JOINTS))
+    for i, chain in enumerate(smpl_chains()):
+        A[i, chain] = 1
+        A[i, i] = 0
+    deg = A.sum(axis=1)
+    dinv = np.divide(1.0, deg, out=np.zeros_like(deg), where=deg > 0)
+    return (dinv[:, None] * A).astype(np.float32)
+
+
+def pos2rot_adjacency() -> np.ndarray:
+    """Row-normalized (24, 24): each joint attends to its tree children,
+    parent and itself (reference smpl_regressor.py:662-672)."""
+    A = np.zeros((NUM_SMPL_JOINTS, NUM_SMPL_JOINTS))
+    for i in range(NUM_SMPL_JOINTS):
+        A[i, SMPL_PARENT[i]] = 1
+        A[i, i] = 1
+    for j in range(1, NUM_SMPL_JOINTS):
+        A[int(SMPL_PARENT[j]), j] = 1
+    A[0, 0] = 1
+    deg = A.sum(axis=1)
+    return ((1.0 / deg)[:, None] * A).astype(np.float32)
+
+
+# Extra symmetric links added to the 2-neighbour refinement mask
+# (reference smpl_regressor.py:640-643): hip-hip/spine and collar/neck.
+REFINE_EXTRA_LINKS = ((1, 2), (1, 3), (2, 3), (13, 14), (12, 13), (12, 14))
+
+
+def refine_edge_mask() -> np.ndarray:
+    """(24, 24) 0/1 mask of learnable refinement edges: the 2-hop skeleton
+    neighbourhood + extra links, self-loops excluded (the identity is added
+    back, normalized, at every forward)."""
+    dist = hop_distance(NUM_SMPL_JOINTS, SMPL_EDGES, 2)
+    A = (dist <= 2).astype(np.float32)
+    # the smpl_2neigh layout also wires the collars/head region
+    for a, b in ((12, 17), (12, 16)):
+        A[a, b] = A[b, a] = 1.0
+    for a, b in REFINE_EXTRA_LINKS:
+        A[a, b] = A[b, a] = 1.0
+    np.fill_diagonal(A, 0.0)
+    return A
+
+
+def smpl2dp_channel_mask() -> np.ndarray:
+    """(24, 25) 0/1: patch-index channels covering each SMPL joint (from
+    SMPL2DP_PART), for part-visibility scoring."""
+    m = np.zeros((NUM_SMPL_JOINTS, 25), dtype=np.float32)
+    for j, patches in enumerate(SMPL2DP_PART):
+        for p in patches:
+            m[j, p] = 1.0
+    return m

@@ -1,0 +1,151 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from danet_densepose2smpl_tpu.core.config import DaNetConfig, RefinementConfig
+from danet_densepose2smpl_tpu.models import DaNet, DecomposedPredictor, default_mean_params
+from danet_densepose2smpl_tpu.models.danet import (
+    apply_partdrop_global,
+    apply_partdrop_partial,
+    clean_part_stacks,
+    partdrop_mask,
+)
+from danet_densepose2smpl_tpu.models.iuv_estimator import point_sample, stn_affine_params
+from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
+
+
+def small_cfg(**kw):
+    # resnet backbone keeps the test fast; architecture identical in kind
+    base = dict(iuv_regressor="resnet", msres_num_layers=18)
+    base.update(kw)
+    return DaNetConfig(**base)
+
+
+def test_point_sample_center():
+    maps = np.zeros((1, 8, 8, 3), np.float32)
+    maps[0, 4, 2, 1] = 1.0
+    # pixel (x=2, y=4) center in [-1,1]: x = (2*2+1)/8-1 = -0.375, y = (2*4+1)/8-1 = 0.125
+    pts = np.array([[[0.0, 0.0], [-0.375, 0.125], [2.0, 2.0]]], np.float32)
+    vals = np.asarray(point_sample(jnp.asarray(maps), jnp.asarray(pts)))
+    np.testing.assert_allclose(vals[0], [0.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_stn_affine_params_geometry(rng):
+    centers = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 24, 2)).astype(np.float32))
+    ratio = jnp.ones(24)
+    off = jnp.zeros(24)
+    theta, scale = stn_affine_params(centers, ratio, off)
+    assert theta.shape == (2, 24, 2, 3)
+    np.testing.assert_allclose(np.asarray(theta[..., 0, 0]), np.asarray(scale), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(theta[..., :, 2]), np.asarray(centers), atol=1e-6)
+    # hidden-part fallback: force all hidden -> scale = 0.8 * box scale (except root)
+    hidden = jnp.ones((2, 24), bool)
+    _, scale_h = stn_affine_params(centers, ratio, off, part_hidden=hidden)
+    box = (centers.max(1) - centers.min(1)).max(-1) / 2.0
+    np.testing.assert_allclose(np.asarray(scale_h[:, 1:]), np.asarray(0.8 * box)[:, None].repeat(23, 1), atol=1e-5)
+
+
+def test_partdrop_global_zeroes_channels(rng):
+    b, s = 3, 8
+    u = jnp.asarray(rng.rand(b, s, s, 25).astype(np.float32))
+    drop = jnp.zeros((b, 24), bool).at[0, 4].set(True)  # drop patch 5 of sample 0
+    u2, _, _ = apply_partdrop_global(u, u, u, drop)
+    assert np.abs(np.asarray(u2[0, ..., 5])).max() == 0
+    np.testing.assert_array_equal(np.asarray(u2[1]), np.asarray(u[1]))
+    np.testing.assert_array_equal(np.asarray(u2[0, ..., 4]), np.asarray(u[0, ..., 4]))
+
+
+def test_partdrop_partial_consistency(rng):
+    b = 2
+    part = jnp.asarray(rng.rand(b, 24, 4, 4, 3, 7).astype(np.float32))
+    patch = 8  # dp patch id
+    drop = jnp.zeros((b, 24), bool).at[0, patch - 1].set(True)
+    out = np.asarray(apply_partdrop_partial(part, drop))
+    for p in range(24):
+        for j in range(6):
+            ch = j + 1
+            if DP2SMPL_MAPPING[p, j] == patch:
+                assert np.abs(out[0, p, ..., ch]).max() == 0, (p, j)
+            else:
+                np.testing.assert_array_equal(out[0, p, ..., ch], np.asarray(part[0, p, ..., ch]))
+    np.testing.assert_array_equal(out[1], np.asarray(part[1]))
+
+
+def test_clean_part_stacks_onehot(rng):
+    part = jnp.asarray(rng.rand(2, 24, 4, 4, 3, 7).astype(np.float32))
+    out = np.asarray(clean_part_stacks(part))
+    idx = out[..., 2, :]
+    np.testing.assert_allclose(idx.sum(-1), 1.0, atol=1e-6)
+    np.testing.assert_array_equal(idx.argmax(-1), np.asarray(part[..., 2, :]).argmax(-1))
+
+
+def test_decomposed_predictor_shapes(rng):
+    cfg = small_cfg()
+    m = DecomposedPredictor(cfg, default_mean_params(), train=False)
+    iuv = jnp.zeros((2, 56, 56, 75))
+    part = jnp.zeros((2, 24, 56, 56, 3, 7))
+    v = m.init({"params": jax.random.PRNGKey(0)}, iuv, part)
+    out = m.apply(v, iuv, part)
+    assert out["para"].shape == (2, 229)
+    R = np.asarray(out["para"][:, 13:]).reshape(-1, 3, 3)
+    eye = np.einsum("bik,blk->bil", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+
+
+def test_decomposed_predictor_train_aux(rng):
+    cfg = small_cfg()
+    m = DecomposedPredictor(cfg, default_mean_params(), train=True)
+    iuv = jnp.zeros((2, 56, 56, 75))
+    part = jnp.zeros((2, 24, 56, 56, 3, 7))
+    v = m.init({"params": jax.random.PRNGKey(0)}, iuv, part)
+    out, _ = m.apply(v, iuv, part, mutable=["batch_stats"])
+    assert len(out["joint_rotation"]) == 1 and out["joint_rotation"][0].shape == (2, 216)
+    assert len(out["joint_position"]) == 2 and out["joint_position"][0].shape == (2, 24, 3)
+
+
+@pytest.fixture(scope="module")
+def danet_setup():
+    cfg = small_cfg()
+    model = DaNet(cfg, train=False)
+    img = jnp.zeros((2, 224, 224, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img)
+    return cfg, model, img, variables
+
+
+def test_danet_infer_shapes(danet_setup):
+    cfg, model, img, variables = danet_setup
+    out = model.apply(variables, img)
+    assert out["pred_cam"].shape == (2, 3)
+    assert out["pred_shape"].shape == (2, 10)
+    assert out["pred_rotmat"].shape == (2, 24, 3, 3)
+    assert out["iuv_raw"]["part_iuv"].shape == (2, 24, 56, 56, 3, 7)
+    assert out["iuv_clean"][2].shape == (2, 56, 56, 25)
+
+
+def test_danet_jit_and_finite(danet_setup, rng):
+    cfg, model, img, variables = danet_setup
+    img = jnp.asarray(rng.rand(2, 224, 224, 3).astype(np.float32))
+    fwd = jax.jit(lambda i: model.apply(variables, i)["para"])
+    para = fwd(img)
+    assert np.isfinite(np.asarray(para)).all()
+
+
+def test_danet_train_mode_runs(rng):
+    cfg = small_cfg()
+    model = DaNet(cfg, train=True)
+    img = jnp.asarray(rng.rand(2, 224, 224, 3).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1), "partdrop": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, img)
+    out, mutated = model.apply(
+        variables, img, mutable=["batch_stats"],
+        rngs={"jitter": jax.random.PRNGKey(3), "partdrop": jax.random.PRNGKey(4)},
+    )
+    assert "batch_stats" in mutated
+    assert out["para"].shape == (2, 229)
+
+
+def test_danet_pretrain_mode_skips_regressor(danet_setup):
+    cfg, model, img, variables = danet_setup
+    out = model.apply(variables, img, pretrain_mode=True)
+    assert "para" not in out and "iuv_clean" in out

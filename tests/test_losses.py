@@ -1,0 +1,239 @@
+"""Golden tests: the mask-weighted jit-safe losses must match a direct torch
+transcription of the reference's boolean-gather implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from danet_densepose2smpl_tpu.core.config import DaNetConfig
+from danet_densepose2smpl_tpu.models import losses as L
+
+CFG = DaNetConfig()
+
+
+def torch_body_uv_losses(u_pred, v_pred, i_pred, a_pred, Umap, Vmap, Imap, Annmap, has_iuv):
+    """Transcription of reference iuv_estimator.py:304-341 (NCHW)."""
+    bsz = u_pred.shape[0]
+    sel = has_iuv.bool()
+    u_pred, v_pred, i_pred = u_pred[sel], v_pred[sel], i_pred[sel]
+    a_pred = a_pred[sel] if a_pred is not None else None
+    Umap, Vmap, Imap = Umap[sel], Vmap[sel], Imap[sel]
+    Annmap = Annmap[sel] if Annmap is not None else None
+
+    Itarget = torch.argmax(Imap, dim=1).view(-1).long()
+    ip = i_pred.permute(0, 2, 3, 1).reshape(-1, Imap.shape[1])
+    loss_U = F.smooth_l1_loss(u_pred[Imap > 0], Umap[Imap > 0], reduction="sum") / bsz
+    loss_V = F.smooth_l1_loss(v_pred[Imap > 0], Vmap[Imap > 0], reduction="sum") / bsz
+    loss_I = F.cross_entropy(ip, Itarget)
+    loss_U *= CFG.point_regression_weights
+    loss_V *= CFG.point_regression_weights
+    loss_A = None
+    if a_pred is not None:
+        At = torch.argmax(Annmap, dim=1).view(-1).long()
+        ap = a_pred.permute(0, 2, 3, 1).reshape(-1, Annmap.shape[1])
+        loss_A = F.cross_entropy(ap, At)
+    return loss_U, loss_V, loss_I, loss_A
+
+
+def make_iuv_batch(rng, b=4, s=8):
+    part = rng.randint(0, 25, (b, s, s))
+    onehot = np.eye(25, dtype=np.float32)[part]  # (B, S, S, 25)
+    u_gt = onehot * rng.rand(b, s, s, 1).astype(np.float32)
+    v_gt = onehot * rng.rand(b, s, s, 1).astype(np.float32)
+    ann = np.eye(15, dtype=np.float32)[rng.randint(0, 15, (b, s, s))]
+    preds = [rng.randn(b, s, s, c).astype(np.float32) for c in (25, 25, 25, 15)]
+    return preds, (u_gt, v_gt, onehot, ann)
+
+
+def to_nchw(x):
+    return torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+
+
+def test_body_uv_losses_match_torch(rng):
+    (u_p, v_p, i_p, a_p), (u_g, v_g, i_g, a_g) = make_iuv_batch(rng)
+    has_iuv = np.array([1, 0, 1, 1], np.float32)
+
+    got = L.body_uv_losses(
+        *(jnp.asarray(x) for x in (u_p, v_p, i_p, a_p)),
+        *(jnp.asarray(x) for x in (u_g, v_g, i_g, a_g)),
+        jnp.asarray(has_iuv), CFG,
+    )
+    exp = torch_body_uv_losses(
+        *(to_nchw(x) for x in (u_p, v_p, i_p, a_p)),
+        *(to_nchw(x) for x in (u_g, v_g, i_g, a_g)),
+        torch.from_numpy(has_iuv),
+    )
+    for g, e in zip(got, exp):
+        np.testing.assert_allclose(float(g), float(e), rtol=1e-4, atol=1e-5)
+
+
+def test_body_uv_losses_all_masked(rng):
+    (u_p, v_p, i_p, a_p), gts = make_iuv_batch(rng)
+    got = L.body_uv_losses(
+        *(jnp.asarray(x) for x in (u_p, v_p, i_p, a_p)),
+        *(jnp.asarray(x) for x in gts),
+        jnp.zeros(4), CFG,
+    )
+    for g in got:
+        assert float(g) == 0.0
+
+
+def test_partial_uv_losses_match_torch_loop(rng):
+    b, p, s, k = 2, 24, 8, 7
+    pred = rng.randn(b, p, s, s, 3, k).astype(np.float32)
+    idx_gt = np.eye(k, dtype=np.float32)[rng.randint(0, k, (b, p, s, s))]
+    gt = np.stack([
+        idx_gt * rng.rand(b, p, s, s, 1).astype(np.float32),
+        idx_gt * rng.rand(b, p, s, s, 1).astype(np.float32),
+        idx_gt,
+    ], axis=-2)
+    has_iuv = np.array([1, 1], np.float32)
+
+    lu, lv, li = L.partial_uv_losses(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(has_iuv), CFG)
+
+    # reference: per-part body_uv_losses summed, / 24
+    eu = ev = ei = 0.0
+    for pi in range(p):
+        u_p = to_nchw(pred[:, pi, ..., 0, :])
+        v_p = to_nchw(pred[:, pi, ..., 1, :])
+        i_p = to_nchw(pred[:, pi, ..., 2, :])
+        u_g = to_nchw(gt[:, pi, ..., 0, :])
+        v_g = to_nchw(gt[:, pi, ..., 1, :])
+        i_g = to_nchw(gt[:, pi, ..., 2, :])
+        U, V, I, _ = torch_body_uv_losses(u_p, v_p, i_p, None, u_g, v_g, i_g, None, torch.from_numpy(has_iuv))
+        eu, ev, ei = eu + float(U), ev + float(V), ei + float(I)
+    np.testing.assert_allclose(float(lu), eu / 24, rtol=1e-4)
+    np.testing.assert_allclose(float(lv), ev / 24, rtol=1e-4)
+    np.testing.assert_allclose(float(li), ei / 24, rtol=1e-4, atol=1e-6)
+
+
+def test_keypoint_2d_loss_matches_torch(rng):
+    b, j = 3, 49
+    pred = rng.randn(b, j, 2).astype(np.float32)
+    gt = rng.randn(b, j, 3).astype(np.float32)
+    gt[..., 2] = rng.rand(b, j)
+    got = float(L.keypoint_2d_loss(jnp.asarray(pred), jnp.asarray(gt), 0.0, 1.0))
+
+    conf = torch.from_numpy(gt[..., 2:3].copy())
+    conf[:, :25] *= 0.0
+    exp = (conf * F.mse_loss(torch.from_numpy(pred), torch.from_numpy(gt[..., :2]), reduction="none")).mean()
+    np.testing.assert_allclose(got, float(exp), rtol=1e-5)
+
+
+def test_keypoint_3d_loss_matches_torch(rng):
+    b, j = 4, 24
+    pred49 = rng.randn(b, 49, 3).astype(np.float32)
+    gt = rng.randn(b, j, 4).astype(np.float32)[..., :4]
+    gt = np.concatenate([rng.randn(b, j, 3), rng.rand(b, j, 1)], -1).astype(np.float32)
+    has = np.array([1, 0, 1, 0], np.float32)
+
+    got = float(L.keypoint_3d_loss(jnp.asarray(pred49), jnp.asarray(gt), jnp.asarray(has)))
+
+    # torch transcription (smpl_regressor.py:259-276)
+    pred = torch.from_numpy(pred49[:, 25:, :])
+    conf = torch.from_numpy(gt[..., 3:].copy() if gt.shape[-1] == 4 else gt[..., 2:3].copy())
+    conf = torch.from_numpy(gt[..., -1:].copy())
+    gt3 = torch.from_numpy(gt[..., :3].copy())
+    sel = torch.from_numpy(has) == 1
+    gt3, conf, pred = gt3[sel], conf[sel], pred[sel]
+    gt_pelvis = (gt3[:, 2] + gt3[:, 3]) / 2
+    gt3 = gt3 - gt_pelvis[:, None]
+    pr_pelvis = (pred[:, 2] + pred[:, 3]) / 2
+    pred = pred - pr_pelvis[:, None]
+    exp = (conf * F.mse_loss(pred, gt3, reduction="none")).mean()
+    np.testing.assert_allclose(got, float(exp), rtol=1e-4)
+
+
+def test_masked_param_losses_match_torch(rng):
+    b = 5
+    pr = rng.randn(b, 24, 3, 3).astype(np.float32)
+    gr = rng.randn(b, 24, 3, 3).astype(np.float32)
+    pb = rng.randn(b, 10).astype(np.float32)
+    gb = rng.randn(b, 10).astype(np.float32)
+    has = np.array([1, 1, 0, 1, 0], np.float32)
+
+    lp, lb = L.smpl_param_losses(jnp.asarray(pr), jnp.asarray(pb), jnp.asarray(gr), jnp.asarray(gb), jnp.asarray(has), CFG)
+    sel = torch.from_numpy(has) == 1
+    exp_p = F.mse_loss(torch.from_numpy(pr)[sel], torch.from_numpy(gr)[sel]) * CFG.smpl_pose_weights
+    exp_b = F.mse_loss(torch.from_numpy(pb)[sel], torch.from_numpy(gb)[sel]) * CFG.smpl_betas_weights
+    np.testing.assert_allclose(float(lp), float(exp_p), rtol=1e-4)
+    np.testing.assert_allclose(float(lb), float(exp_b), rtol=1e-4)
+
+
+def test_l1_sum_over_samples_matches_reference(rng):
+    b = 4
+    pred = rng.randn(b, 3).astype(np.float32)
+    gt = rng.randn(b, 3).astype(np.float32)
+    has = np.array([1, 0, 1, 1], np.float32)
+    got, _ = L.cam_losses(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(has))
+    sel = torch.from_numpy(has) == 1
+    exp = F.l1_loss(torch.from_numpy(pred)[sel], torch.from_numpy(gt)[sel], reduction="sum") / int(sel.sum())
+    np.testing.assert_allclose(float(got), float(exp), rtol=1e-5)
+
+
+def test_dp_uvia_losses_match_torch(rng):
+    b, s, npts = 3, 16, 20
+    u_p = rng.randn(b, s, s, 25).astype(np.float32)
+    v_p = rng.randn(b, s, s, 25).astype(np.float32)
+    i_p = rng.randn(b, s, s, 25).astype(np.float32)
+    a_p = rng.randn(b, s, s, 15).astype(np.float32)
+    cfg = DaNetConfig(heatmap_size=s)
+
+    dp = {
+        "x": rng.uniform(0, s, (b, npts)).astype(np.float32),
+        "y": rng.uniform(0, s, (b, npts)).astype(np.float32),
+        "i_points": rng.randint(0, 25, (b, npts)).astype(np.int32),
+        "u_points": rng.rand(b, 25, npts).astype(np.float32),
+        "v_points": rng.rand(b, 25, npts).astype(np.float32),
+        "point_weights": (rng.rand(b, 25, npts) > 0.5).astype(np.float32),
+        "ann_labels": rng.randint(0, 15, (b, s, s)).astype(np.int32),
+    }
+    has_dp = np.array([1, 1, 1], np.float32)
+
+    got = L.dp_uvia_losses(
+        *(jnp.asarray(x) for x in (u_p, v_p, i_p, a_p)),
+        {k: jnp.asarray(v) for k, v in dp.items()}, jnp.asarray(has_dp), cfg,
+    )
+
+    # torch transcription of iuv_estimator.py:343-419
+    U = to_nchw(u_p); V = to_nchw(v_p); I = to_nchw(i_p); A = to_nchw(a_p)
+    gx = (torch.from_numpy(dp["x"]) - s / 2.0) * 2.0 / s
+    gy = (torch.from_numpy(dp["y"]) - s / 2.0) * 2.0 / s
+    grid = torch.stack([gx, gy], dim=-1).unsqueeze(1)
+    iU = F.grid_sample(U, grid, align_corners=False).squeeze(2).transpose(1, 2)
+    iV = F.grid_sample(V, grid, align_corners=False).squeeze(2).transpose(1, 2)
+    iI = F.grid_sample(I, grid, align_corners=False).squeeze(2).transpose(1, 2).reshape(-1, 25)
+
+    exp_i = F.cross_entropy(iI, torch.from_numpy(dp["i_points"]).long().view(-1)) * cfg.part_weights
+    Upts = torch.from_numpy(dp["u_points"]).transpose(1, 2).reshape(1, 1, -1, 25)
+    Vpts = torch.from_numpy(dp["v_points"]).transpose(1, 2).reshape(1, 1, -1, 25)
+    Wpts = torch.from_numpy(dp["point_weights"]).transpose(1, 2).reshape(1, 1, -1, 25)
+    iUr = iU.reshape(1, 1, -1, 25)
+    iVr = iV.reshape(1, 1, -1, 25)
+
+    def w_smooth_l1(p, t, w):
+        d = w * (p - t)
+        ad = d.abs()
+        ls = torch.where(ad < 1, 0.5 * d * d, ad - 0.5)
+        return (w * ls).sum()  # N=1 after the (1,1,-1,25) reshape
+
+    exp_u = w_smooth_l1(iUr, Upts, Wpts) * cfg.point_regression_weights
+    exp_v = w_smooth_l1(iVr, Vpts, Wpts) * cfg.point_regression_weights
+    exp_a = F.cross_entropy(
+        A.reshape(b, 15, -1).transpose(1, 2).reshape(-1, 15),
+        torch.from_numpy(dp["ann_labels"]).long().view(-1),
+    ) * cfg.index_weights
+
+    np.testing.assert_allclose(float(got[0]), float(exp_u), rtol=1e-3)
+    np.testing.assert_allclose(float(got[1]), float(exp_v), rtol=1e-3)
+    np.testing.assert_allclose(float(got[2]), float(exp_i), rtol=1e-4)
+    np.testing.assert_allclose(float(got[3]), float(exp_a), rtol=1e-4)
+
+
+def test_reproject_range(rng):
+    joints = rng.randn(2, 49, 3).astype(np.float32) * 0.2
+    cam = np.array([[0.9, 0.0, 0.0], [1.1, 0.1, -0.1]], np.float32)
+    out = np.asarray(L.reproject(jnp.asarray(joints), jnp.asarray(cam), 224.0))
+    assert out.shape == (2, 49, 2)
+    assert np.abs(out).max() < 5

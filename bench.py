@@ -1,0 +1,78 @@
+"""End-to-end inference benchmark: image -> IUV -> SMPL params -> vertices.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: imgs/sec/chip through the full flagship pipeline (DaNet HRNet-W48 +
+decomposed GCN regressor + SMPL LBS to 6890 vertices), batch 16, bf16 conv
+activations off (fp32) for parity-first round 1.
+
+Baseline (BASELINE.md north star): >=10x PyTorch-CPU imgs/sec. The PyTorch
+reference cannot run in this container (its CUDA/smplx deps are absent), so
+the recorded stand-in baseline is this same pipeline on one CPU process
+(JAX CPU, measured in this container: 0.171 imgs/sec at B=16); the 10x bar
+is then vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+CPU_BASELINE_IMGS_PER_SEC = 0.171  # measured: this pipeline, JAX CPU, B=16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from danet_densepose2smpl_tpu.core.config import DaNetConfig
+    from danet_densepose2smpl_tpu.models.danet import DaNet
+    from danet_densepose2smpl_tpu.smpl import smpl_forward, synthetic_smpl_model
+
+    B = 16
+    cfg = DaNetConfig()
+    model = DaNet(cfg, train=False)
+    smpl = synthetic_smpl_model()  # full 6890-vertex body
+
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, image[:1])
+
+    import jax.tree_util as jtu
+
+    smpl_arrays = jtu.tree_map(jnp.asarray, smpl)
+
+    # params/model arrays as arguments (closure constants overflow the
+    # remote-compile payload limit and trigger slow constant folding)
+    @jax.jit
+    def forward(variables, smpl_arrays, img):
+        out = model.apply(variables, img)
+        smpl_out = smpl_forward(smpl_arrays, out["pred_shape"], out["pred_rotmat"])
+        return smpl_out.vertices, smpl_out.joints, out["pred_cam"]
+
+    # warmup / compile
+    jax.block_until_ready(forward(variables, smpl_arrays, image))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = forward(variables, smpl_arrays, image)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = B * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "danet_e2e_inference_imgs_per_sec",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / CPU_BASELINE_IMGS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Pallas TPU rasterizer backend.
+
+Same math as `rasterizer.rasterize_flat`, reorganized for the TPU memory
+hierarchy: per batch element, all per-face quantities (edge-function
+coefficients, z-interpolation coefficients, inverse areas, flat textures)
+are precomputed in XLA and handed to the kernel in VMEM; the kernel keeps
+the (z-buffer, texture) state in VMEM scratch and sweeps the mesh in
+128-face chunks. Edge functions for all pixels x faces evaluate as
+(P, 3) @ (3, K) matmuls (MXU), the winner-take-all z-test is VPU selects,
+and the winning texture is fetched with a one-hot matmul instead of a
+gather.
+
+Pixel layout: the S*S pixel axis is padded to a sublane multiple; face
+chunks are 128 wide (lane dimension).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e9
+_CHUNK = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _face_setup(verts_px, faces, face_tex, out_size, orig_size):
+    """Precompute per-face rasterization coefficients (XLA side).
+
+    Returns (e (B, 9, Fp), zc (B, 3, Fp), meta (B, 2, Fp) = [inv_area,
+    valid], tex (Fp, C)); Fp padded to the chunk size. The 9 edge rows are
+    the (x, y, 1) coefficients of the three sign-normalized edge functions;
+    zc gives z*area as an affine function of the pixel.
+    """
+    s = out_size
+    scale = s / orig_size
+    tri = verts_px[:, faces, :]                       # (B, F, 3, 3)
+    xy = tri[..., :2] * scale
+    z = tri[..., 2]
+
+    v0, v1, v2 = xy[:, :, 0], xy[:, :, 1], xy[:, :, 2]
+
+    def edge_coeffs(a, b):
+        # cross(b - a, p - a) as coeffs of (p.x, p.y, 1)
+        ex = b[..., 0] - a[..., 0]
+        ey = b[..., 1] - a[..., 1]
+        c = -(ex * a[..., 1]) + ey * a[..., 0]
+        return jnp.stack([-ey, ex, c], axis=-1)       # (B, F, 3)
+
+    e0 = edge_coeffs(v1, v2)
+    e1 = edge_coeffs(v2, v0)
+    e2 = edge_coeffs(v0, v1)
+
+    area = (
+        (v1[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1])
+        - (v1[..., 1] - v0[..., 1]) * (v2[..., 0] - v0[..., 0])
+    )
+    sgn = jnp.sign(area)[..., None]
+    e = jnp.concatenate([e0 * sgn, e1 * sgn, e2 * sgn], axis=-1)       # (B, F, 9)
+
+    zc = jnp.einsum("bfec,bfe->bfc", jnp.stack([e0, e1, e2], axis=2), z)  # (B, F, 3)
+
+    valid = ((jnp.abs(area) > 1e-12) & (z > 0).all(-1)).astype(jnp.float32)
+    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+    meta = jnp.stack([inv_area, valid], axis=-1)                        # (B, F, 2)
+
+    f = faces.shape[0]
+    fp = _round_up(f, _CHUNK)
+    pad = fp - f
+    if pad:
+        e = jnp.pad(e, ((0, 0), (0, pad), (0, 0)))
+        zc = jnp.pad(zc, ((0, 0), (0, pad), (0, 0)))
+        meta = jnp.pad(meta, ((0, 0), (0, pad), (0, 0)))
+        face_tex = jnp.pad(face_tex, ((0, pad), (0, 0)))
+
+    # face axis last (lanes)
+    return (
+        e.transpose(0, 2, 1),      # (B, 9, Fp)
+        zc.transpose(0, 2, 1),     # (B, 3, Fp)
+        meta.transpose(0, 2, 1),   # (B, 2, Fp)
+        face_tex,
+    )
+
+
+def _raster_kernel(pmat_ref, e_ref, zc_ref, meta_ref, tex_ref, out_ref, zbuf, texacc):
+    """One batch element. Block shapes:
+    pmat (P, 3); e (1, 9, Fp); zc (1, 3, Fp); meta (1, 2, Fp); tex (Fp, C);
+    out (1, P, C); scratch zbuf (P, 1), texacc (P, C).
+    """
+    p = pmat_ref.shape[0]
+    fp = e_ref.shape[-1]
+    c = tex_ref.shape[-1]
+    n_chunks = fp // _CHUNK
+
+    zbuf[:] = jnp.full((p, 1), _BIG, jnp.float32)
+    texacc[:] = jnp.zeros((p, c), jnp.float32)
+
+    pmat = pmat_ref[:]                                   # (P, 3)
+
+    def body(k, _):
+        sl = pl.ds(k * _CHUNK, _CHUNK)
+        w0 = jnp.dot(pmat, e_ref[0, 0:3, sl], preferred_element_type=jnp.float32)
+        w1 = jnp.dot(pmat, e_ref[0, 3:6, sl], preferred_element_type=jnp.float32)
+        w2 = jnp.dot(pmat, e_ref[0, 6:9, sl], preferred_element_type=jnp.float32)
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)       # (P, K)
+
+        za = jnp.dot(pmat, zc_ref[0, :, sl], preferred_element_type=jnp.float32)
+        inv_a = meta_ref[0, 0:1, sl]                     # (1, K)
+        val = meta_ref[0, 1:2, sl]                       # (1, K)
+        zpix = za * inv_a
+
+        ok = inside & (val > 0) & (zpix > 1e-6)
+        zmask = jnp.where(ok, zpix, _BIG)                # (P, K)
+
+        zmin = jnp.min(zmask, axis=1, keepdims=True)     # (P, 1)
+        kidx = jnp.argmin(zmask, axis=1)                 # (P,)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (p, _CHUNK), 1) == kidx[:, None]
+        ).astype(jnp.float32)
+        texc = jnp.dot(onehot, tex_ref[sl], preferred_element_type=jnp.float32)  # (P, C)
+
+        better = zmin < zbuf[:]
+        zbuf[:] = jnp.where(better, zmin, zbuf[:])
+        texacc[:] = jnp.where(better, texc, texacc[:])
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0] = texacc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "orig_size", "interpret"))
+def rasterize_flat_pallas(
+    verts_px: jnp.ndarray,
+    faces: jnp.ndarray,
+    face_tex: jnp.ndarray,
+    out_size: int,
+    orig_size: float = 224.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas backend of `rasterize_flat` (same contract)."""
+    b = verts_px.shape[0]
+    s = out_size
+    c = face_tex.shape[-1]
+
+    e, zc, meta, tex = _face_setup(verts_px, faces, face_tex, s, orig_size)
+    fp = e.shape[-1]
+
+    p = _round_up(s * s, 8)
+    px = jnp.arange(s, dtype=jnp.float32) + 0.5
+    gy, gx = jnp.meshgrid(px, px, indexing="ij")
+    pmat = jnp.stack([gx.reshape(-1), gy.reshape(-1), jnp.ones(s * s)], axis=-1)
+    pmat = jnp.pad(pmat, ((0, p - s * s), (0, 0)))
+
+    out = pl.pallas_call(
+        _raster_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((p, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, fp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, fp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, fp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pmat, e, zc, meta, tex)
+
+    return out[:, : s * s, :].reshape(b, s, s, c)

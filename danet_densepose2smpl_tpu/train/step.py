@@ -1,0 +1,111 @@
+"""Sharded train step: one jitted function = forward + losses + grads + Adam.
+
+Replaces the reference's eager loop body (`train/trainer.py:117-244`,
+`base_trainer.py:53-106`): the whole step compiles to a single XLA program
+over the data-parallel mesh. Params/optimizer state are replicated, the
+batch is sharded on the 'data' axis; XLA inserts the gradient all-reduce
+and the global-batch means inside BatchNorm (sync-BN).
+
+Two-stage schedule: `pretrain_mode` changes the traced graph (IUV-only), so
+the trainer holds two compiled step functions and switches at
+`pretr_step` (reference `base_trainer.py:74`, README two-stage recipe).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from danet_densepose2smpl_tpu.core.config import Config
+from danet_densepose2smpl_tpu.models.danet import DaNet
+from danet_densepose2smpl_tpu.smpl import SMPLModel
+from danet_densepose2smpl_tpu.train.objective import compute_losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    """Step decay x0.1 at each SOLVER.STEPS boundary after the first
+    (reference trainer.py:63,120-128: decay_steps_ind starts at 1, so the
+    leading 0 milestone never fires)."""
+    boundaries = {int(s): 0.1 for s in cfg.solver.steps[1:]}
+    return optax.piecewise_constant_schedule(cfg.solver.base_lr, boundaries)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.adam(make_lr_schedule(cfg))
+
+
+def create_train_state(model: DaNet, cfg: Config, rng, sample_image) -> TrainState:
+    variables = model.init(
+        {"params": rng, "jitter": jax.random.fold_in(rng, 1), "partdrop": jax.random.fold_in(rng, 2)},
+        sample_image,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    train_model: DaNet,
+    smpl: SMPLModel,
+    cfg: Config,
+    mesh: Mesh | None = None,
+    pretrain_mode: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns step(state, batch, rng) -> (state, metrics). With a mesh, the
+    batch is expected sharded on the 'data' axis and state replicated.
+    """
+    optimizer = make_optimizer(cfg)
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        jit_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out, mutated = train_model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"],
+                pretrain_mode=pretrain_mode,
+                mutable=["batch_stats"],
+                rngs={"jitter": jit_rng, "partdrop": drop_rng},
+            )
+            total, losses = compute_losses(
+                cfg.danet, smpl, out, batch, pretrain_mode=pretrain_mode,
+                openpose_weight=cfg.train.openpose_train_weight,
+                gt_weight=cfg.train.gt_train_weight,
+            )
+            return total, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss_total"] = total
+        new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

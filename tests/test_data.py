@@ -1,0 +1,154 @@
+import numpy as np
+import pytest
+
+from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+from danet_densepose2smpl_tpu.data.loader import ResumableLoader
+from danet_densepose2smpl_tpu.data.mixed import MixedDataset
+from danet_densepose2smpl_tpu.data.rle import (
+    compress_counts,
+    decode_rle,
+    decode_dp_masks,
+    encode_rle,
+    _uncompress_counts,
+)
+from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+from danet_densepose2smpl_tpu.data.transforms import crop, get_transform, transform_points, uncrop
+
+
+# ------------------------------ RLE ------------------------------------
+
+
+def test_rle_roundtrip(rng):
+    mask = (rng.rand(64, 48) > 0.7).astype(np.uint8)
+    rle = encode_rle(mask)
+    np.testing.assert_array_equal(decode_rle(rle), mask)
+
+
+def test_rle_compressed_roundtrip(rng):
+    mask = (rng.rand(31, 17) > 0.5).astype(np.uint8)
+    rle = encode_rle(mask)
+    compressed = compress_counts(rle["counts"])
+    counts2 = _uncompress_counts(compressed)
+    assert counts2 == list(rle["counts"])
+    np.testing.assert_array_equal(decode_rle({"size": rle["size"], "counts": compressed}), mask)
+
+
+def test_decode_dp_masks(rng):
+    masks = []
+    for p in range(14):
+        m = np.zeros((256, 256), np.uint8)
+        m[p * 10 : p * 10 + 10, :20] = 1
+        masks.append(encode_rle(m))
+    label = decode_dp_masks(masks)
+    assert label.shape == (256, 256)
+    for p in range(14):
+        assert (label[p * 10 : p * 10 + 10, :20] == p + 1).all()
+
+
+# ------------------------------ transforms ------------------------------
+
+
+def test_crop_uncrop_inverse(rng):
+    # smooth image: resampling round trip must approximately invert
+    yy, xx = np.mgrid[0:200, 0:180]
+    img = np.stack([yy, xx, yy + xx], -1).astype(np.float32) % 255
+    center, scale = np.array([90.0, 100.0]), 0.9
+    c = crop(img, center, scale, (64, 64))
+    assert c.shape == (64, 64, 3)
+    # the original center pixel value appears at the crop center
+    np.testing.assert_allclose(c[32, 32], img[100, 90], atol=3)
+    back = uncrop(c.astype(np.uint8), center, scale, (200, 180, 3))
+    ys, xs = slice(40, 160), slice(20, 160)
+    corr = np.corrcoef(back[ys, xs].reshape(-1), img[ys, xs].reshape(-1).astype(np.uint8))[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_transform_points_center_maps_to_middle():
+    center, scale, res = np.array([50.0, 60.0]), 0.5, (64, 64)
+    out = transform_points(np.array([[51.0, 61.0]]), center, scale, res)
+    np.testing.assert_allclose(out[0], [33, 33], atol=1.5)
+
+
+def test_get_transform_rotation_keeps_center():
+    center, scale, res = np.array([30.0, 40.0]), 0.4, (64, 64)
+    t = get_transform(center, scale, res, rot=37.0)
+    p = t @ np.array([30.0, 40.0, 1.0])
+    np.testing.assert_allclose(p[:2], [32, 32], atol=1e-6)
+
+
+# ------------------------------ dataset ------------------------------
+
+
+@pytest.fixture(scope="module")
+def ds_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth_ds")
+    npz, img_dir = write_synthetic_dataset(str(d), n=12, with_dp=True)
+    return npz, img_dir
+
+
+def test_dataset_item_contract(ds_dir):
+    npz, img_dir = ds_dir
+    ds = NpzDataset(npz, img_dir, name="synth", is_train=True)
+    item = ds.__getitem__(0, rng=np.random.RandomState(0))
+    assert item["img"].shape == (224, 224, 3)
+    assert item["keypoints"].shape == (49, 3)
+    assert item["pose"].shape == (72,)
+    assert item["pose_3d"].shape == (24, 4)
+    assert item["dp_dict"]["u_points"].shape == (25, 196)
+    assert item["dp_dict"]["ann_labels"].shape == (56, 56)
+    assert np.abs(item["keypoints"][:, :2]).max() <= 3.0
+    # dp sample: rotation forced to 0
+    assert item["rot_angle"] == 0.0
+
+
+def test_dataset_determinism(ds_dir):
+    npz, img_dir = ds_dir
+    ds = NpzDataset(npz, img_dir, is_train=True)
+    a = ds.__getitem__(3, rng=np.random.RandomState(7))
+    b = ds.__getitem__(3, rng=np.random.RandomState(7))
+    np.testing.assert_array_equal(a["img"], b["img"])
+    np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+
+
+def test_dataset_eval_mode_no_augment(ds_dir):
+    npz, img_dir = ds_dir
+    ds = NpzDataset(npz, img_dir, is_train=False)
+    a = ds.__getitem__(1, rng=np.random.RandomState(1))
+    b = ds.__getitem__(1, rng=np.random.RandomState(99))
+    np.testing.assert_array_equal(a["img"], b["img"])
+    assert a["is_flipped"] == 0 and a["rot_angle"] == 0
+
+
+def test_loader_resume_and_sharding(ds_dir):
+    npz, img_dir = ds_dir
+    ds = NpzDataset(npz, img_dir, is_train=True)
+    loader = ResumableLoader(ds, batch_size=4, seed=5)
+    full = list(loader.epoch(epoch=0))
+    assert len(full) == 3
+    assert full[0][1]["img"].shape == (4, 224, 224, 3)
+
+    resumed = list(loader.epoch(epoch=0, start_batch=2))
+    assert len(resumed) == 1
+    np.testing.assert_array_equal(resumed[0][1]["img"], full[2][1]["img"])
+
+    # two-shard loaders jointly reproduce the unsharded batch
+    sh0 = ResumableLoader(ds, batch_size=4, seed=5, shard_id=0, num_shards=2)
+    sh1 = ResumableLoader(ds, batch_size=4, seed=5, shard_id=1, num_shards=2)
+    b0 = next(iter(sh0.epoch(0)))[1]
+    b1 = next(iter(sh1.epoch(0)))[1]
+    assert b0["img"].shape == (2, 224, 224, 3)
+    ref = full[0][1]["sample_index"]
+    got = np.concatenate([b0["sample_index"], b1["sample_index"]])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mixed_dataset_partition(ds_dir):
+    npz, img_dir = ds_dir
+    a = NpzDataset(npz, img_dir, name="a", is_train=True)
+    b = NpzDataset(npz, img_dir, name="b", is_train=True)
+    mixed = MixedDataset({"a": a, "b": b}, {"a": 0.8, "b": 0.2})
+    counts = {0: 0, 1: 0}
+    for i in range(200):
+        item = mixed.__getitem__(i % len(mixed), rng=np.random.RandomState(i))
+        counts[int(item["dataset_idx"])] += 1
+    assert counts[0] > 120 and counts[1] > 10

@@ -1,0 +1,123 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from danet_densepose2smpl_tpu.kernels import IUVRenderer, project_weak_perspective, rasterize_flat
+from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model, smpl_forward_aa
+from danet_densepose2smpl_tpu.smpl.densepose_atlas import synthetic_densepose_atlas
+
+
+def numpy_rasterize(verts_px, faces, face_tex, out_size, orig_size):
+    """Independent per-pixel loop reference."""
+    b, _, _ = verts_px.shape
+    s = out_size
+    c = face_tex.shape[-1]
+    out = np.zeros((b, s, s, c), np.float32)
+    scale = s / orig_size
+    for bi in range(b):
+        zbuf = np.full((s, s), 1e9)
+        for f in range(faces.shape[0]):
+            tri = verts_px[bi, faces[f]]
+            xy = tri[:, :2] * scale
+            z3 = tri[:, 2]
+            if (z3 <= 0).any():
+                continue
+            area = (xy[1, 0] - xy[0, 0]) * (xy[2, 1] - xy[0, 1]) - (xy[1, 1] - xy[0, 1]) * (xy[2, 0] - xy[0, 0])
+            if abs(area) < 1e-12:
+                continue
+            lo = np.clip(np.floor(xy.min(0) - 0.5).astype(int), 0, s - 1)
+            hi = np.clip(np.ceil(xy.max(0) + 0.5).astype(int), 0, s - 1)
+            for i in range(lo[1], hi[1] + 1):
+                for j in range(lo[0], hi[0] + 1):
+                    p = np.array([j + 0.5, i + 0.5])
+                    w = np.empty(3)
+                    for k in range(3):
+                        a, bb = xy[(k + 1) % 3], xy[(k + 2) % 3]
+                        w[k] = (bb[0] - a[0]) * (p[1] - a[1]) - (bb[1] - a[1]) * (p[0] - a[0])
+                    if not ((w * np.sign(area)) >= 0).all():
+                        continue
+                    zp = (w / area * z3).sum()
+                    if zp > 1e-6 and zp < zbuf[i, j]:
+                        zbuf[i, j] = zp
+                        out[bi, i, j] = face_tex[f]
+    return out
+
+
+def test_single_triangle_center():
+    # one big triangle covering the image center, camera at z=5
+    verts = np.array([[[-0.08, -0.08, 0.0], [0.08, -0.08, 0.0], [0.0, 0.1, 0.0]]], np.float32)
+    cam = np.array([[1.0, 0.0, 0.0]], np.float32)
+    vpx = project_weak_perspective(jnp.asarray(verts), jnp.asarray(cam))
+    faces = np.array([[0, 1, 2]], np.int32)
+    tex = np.array([[0.5, 0.25, 0.75]], np.float32)
+    img = np.asarray(rasterize_flat(vpx, jnp.asarray(faces), jnp.asarray(tex), 56))
+    np.testing.assert_allclose(img[0, 28, 28], tex[0], atol=1e-6)
+    assert img[0, 0, 0].sum() == 0  # corner is background
+
+
+def test_zbuffer_nearer_face_wins():
+    verts = np.array(
+        [[[-0.1, -0.1, 0.5], [0.1, -0.1, 0.5], [0, 0.1, 0.5],   # nearer (z+5=5.5)
+          [-0.1, -0.1, 1.5], [0.1, -0.1, 1.5], [0, 0.1, 1.5]]], # farther
+        np.float32,
+    )
+    cam = np.array([[1.0, 0.0, 0.0]], np.float32)
+    vpx = project_weak_perspective(jnp.asarray(verts), jnp.asarray(cam))
+    faces = np.array([[3, 4, 5], [0, 1, 2]], np.int32)  # far face first
+    tex = np.array([[9.0, 0, 0], [1.0, 0, 0]], np.float32)
+    img = np.asarray(rasterize_flat(vpx, jnp.asarray(faces), jnp.asarray(tex), 32))
+    assert img[0, 16, 16, 0] == 1.0
+
+
+def test_winding_independence():
+    verts = np.array([[[-0.1, -0.1, 0], [0.1, -0.1, 0], [0, 0.1, 0]]], np.float32)
+    cam = np.array([[1.0, 0.0, 0.0]], np.float32)
+    vpx = project_weak_perspective(jnp.asarray(verts), jnp.asarray(cam))
+    tex = np.array([[0.7, 0.1, 0.2]], np.float32)
+    a = np.asarray(rasterize_flat(vpx, jnp.asarray(np.array([[0, 1, 2]], np.int32)), jnp.asarray(tex), 16))
+    b = np.asarray(rasterize_flat(vpx, jnp.asarray(np.array([[0, 2, 1]], np.int32)), jnp.asarray(tex), 16))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_matches_numpy_reference(rng):
+    b, nv, nf = 2, 30, 40
+    verts = rng.randn(b, nv, 3).astype(np.float32) * 0.1
+    cam = np.tile([1.0, 0.0, 0.0], (b, 1)).astype(np.float32)
+    faces = rng.randint(0, nv, (nf, 3)).astype(np.int32)
+    tex = rng.rand(nf, 3).astype(np.float32)
+    vpx = np.asarray(project_weak_perspective(jnp.asarray(verts), jnp.asarray(cam)))
+    got = np.asarray(rasterize_flat(jnp.asarray(vpx), jnp.asarray(faces), jnp.asarray(tex), 24, chunk=16))
+    exp = numpy_rasterize(vpx, faces, tex, 24, 224.0)
+    # ties on edges can differ by face order; require > 99% agreement
+    agree = np.isclose(got, exp, atol=1e-5).all(-1).mean()
+    assert agree > 0.99, agree
+
+
+def test_full_body_render_plausible(rng):
+    model = synthetic_smpl_model(num_verts=500, seed=2)
+    atlas = synthetic_densepose_atlas(model, seed=2)
+    out = smpl_forward_aa(model, jnp.zeros((2, 10)), jnp.zeros((2, 72)))
+    cam = jnp.asarray(np.tile([0.9, 0.0, 0.0], (2, 1)).astype(np.float32))
+    renderer = IUVRenderer(atlas, chunk=256)
+    img = np.asarray(renderer(out.vertices, cam))
+    assert img.shape == (2, 56, 56, 3)
+    cover = (img[..., 0] > 0).mean()
+    assert 0.02 < cover < 0.9, cover  # body covers part of the frame
+    # patch channel values are k/24
+    vals = np.unique(np.round(img[..., 0] * 24))
+    assert vals.max() <= 24 and vals.min() >= 0
+    # projected pelvis lands roughly at image center horizontally
+    assert np.isfinite(img).all()
+
+
+def test_rasterize_is_jittable(rng):
+    model = synthetic_smpl_model(num_verts=200, seed=1)
+    atlas = synthetic_densepose_atlas(model, seed=1)
+    renderer = IUVRenderer(atlas, chunk=128)
+    out = smpl_forward_aa(model, jnp.zeros((1, 10)), jnp.zeros((1, 72)))
+    cam = jnp.asarray([[0.9, 0.0, 0.0]])
+    f = jax.jit(renderer.__call__)
+    img1 = f(out.vertices, cam)
+    img2 = renderer(out.vertices, cam)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-6)

@@ -1,0 +1,95 @@
+"""Train-step tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from danet_densepose2smpl_tpu.core.config import Config, DaNetConfig
+from danet_densepose2smpl_tpu.data import synthetic_batch
+from danet_densepose2smpl_tpu.models.danet import DaNet
+from danet_densepose2smpl_tpu.parallel import make_mesh, shard_batch
+from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
+from danet_densepose2smpl_tpu.train import create_train_state, make_lr_schedule, make_train_step
+import dataclasses
+
+
+def tiny_cfg():
+    return Config(
+        danet=DaNetConfig(
+            iuv_regressor="resnet", msres_num_layers=18,
+            img_size=64, heatmap_size=16,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = DaNet(cfg.danet, train=True)
+    smpl = synthetic_smpl_model(num_verts=200, seed=0)
+    batch = synthetic_batch(cfg, batch_size=8, num_verts=200, num_dp_points=32, img_size=64)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng, jnp.zeros((1, 64, 64, 3)))
+    return cfg, model, smpl, batch, state
+
+
+def test_lr_schedule():
+    cfg = Config()
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(29999)) == pytest.approx(1e-4)
+    assert float(sched(30001)) == pytest.approx(1e-5)
+    assert float(sched(60001)) == pytest.approx(1e-6)
+
+
+def test_single_device_step(setup):
+    cfg, model, smpl, batch, state = setup
+    step = make_train_step(model, smpl, cfg, donate=False)
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    state2, metrics = step(state, batch_j, jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss_total"]))
+    # params actually moved
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_pretrain_mode_step(setup):
+    cfg, model, smpl, batch, state = setup
+    step = make_train_step(model, smpl, cfg, pretrain_mode=True, donate=False)
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    _, metrics = step(state, batch_j, jax.random.PRNGKey(1))
+    assert "loss_U" in metrics and "smpl_pose" not in metrics
+    assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_multi_device_step_matches_single(setup):
+    cfg, model, smpl, batch, state = setup
+    assert jax.device_count() == 8, "conftest must set 8 virtual CPU devices"
+    mesh = make_mesh()
+    step_m = make_train_step(model, smpl, cfg, mesh=mesh, donate=False)
+    sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+    state_m, metrics_m = step_m(state, sharded, jax.random.PRNGKey(1))
+
+    step_s = make_train_step(model, smpl, cfg, donate=False)
+    _, metrics_s = step_s(state, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(1))
+
+    # data-parallel step must equal the single-device step bitwise-ish
+    np.testing.assert_allclose(
+        float(metrics_m["loss_total"]), float(metrics_s["loss_total"]), rtol=2e-4
+    )
+
+
+def test_masked_out_batch_is_finite(setup):
+    """All validity masks zero -> losses are zeros, grads finite (the NaN
+    trap of fixed-shape masked batches)."""
+    cfg, model, smpl, batch, state = setup
+    batch = dict(batch)
+    for k in ("has_iuv", "has_dp", "has_pose_3d", "valid_fit"):
+        batch[k] = np.zeros_like(batch[k])
+    step = make_train_step(model, smpl, cfg, donate=False)
+    state2, metrics = step(state, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_total"]))
+    gmax = max(jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).max()), state2.params)))
+    assert np.isfinite(gmax)

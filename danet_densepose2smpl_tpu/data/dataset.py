@@ -214,6 +214,7 @@ class NpzDataset:
         item["rot_angle"] = np.float32(rot)
         item["gender"] = self.gender[index]
         item["sample_index"] = np.int32(index)
+        item["dataset_name"] = self.name
         item["maskname"] = str(self.maskname[index]) if self.maskname is not None else ""
         item["partname"] = str(self.partname[index]) if self.partname is not None else ""
         return item

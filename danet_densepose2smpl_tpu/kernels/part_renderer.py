@@ -1,0 +1,59 @@
+"""Body-part / silhouette renderer for the LSP segmentation eval.
+
+Parity: reference `utils/part_utils.py` (`PartRenderer`): renders the posed
+SMPL mesh at 224x224 producing a foreground mask and a 6-part segmentation
+(via the cube_parts lookup). Here the same single rasterizer pass renders a
+2-channel flat texture [silhouette, part label].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from danet_densepose2smpl_tpu.constants import FOCAL_LENGTH
+from danet_densepose2smpl_tpu.kernels.rasterizer import project_weak_perspective, rasterize_flat
+from danet_densepose2smpl_tpu.smpl.loader import SMPLModel
+
+# SMPL joint -> LSP 6-part label (1 head, 2 torso, 3 left arm, 4 right arm,
+# 5 left leg, 6 right leg); used when the original cube_parts lookup is
+# absent.
+JOINT_TO_PART6 = np.array(
+    [2, 5, 6, 2, 5, 6, 2, 5, 6, 2, 5, 6, 1, 3, 4, 1, 3, 4, 3, 4, 3, 4, 3, 4],
+    dtype=np.int32,
+)
+
+
+def vertex_parts_from_lbs(model: SMPLModel) -> np.ndarray:
+    """(V,) part labels 1..6 from each vertex's dominant LBS joint."""
+    return JOINT_TO_PART6[model.lbs_weights.argmax(axis=1)]
+
+
+class PartRenderer:
+    def __init__(
+        self,
+        model: SMPLModel,
+        vertex_parts: np.ndarray | None = None,
+        img_size: int = 224,
+        focal_length: float = FOCAL_LENGTH,
+        chunk: int = 2048,
+    ):
+        self.img_size = img_size
+        self.focal_length = focal_length
+        self.chunk = chunk
+        parts = vertex_parts if vertex_parts is not None else vertex_parts_from_lbs(model)
+        face_part = parts[model.faces[:, 0]].astype(np.float32)
+        self._faces = jnp.asarray(model.faces)
+        self._face_tex = jnp.asarray(
+            np.stack([np.ones_like(face_part), face_part], axis=1)
+        )
+
+    def __call__(self, verts: jnp.ndarray, cam: jnp.ndarray):
+        """verts (B, V, 3), cam (B, 3) -> (mask (B, S, S), parts (B, S, S))."""
+        vpx = project_weak_perspective(verts, cam, float(self.img_size), self.focal_length)
+        img = rasterize_flat(
+            vpx, self._faces, self._face_tex, self.img_size, float(self.img_size), self.chunk
+        )
+        mask = img[..., 0] > 0.5
+        parts = jnp.round(img[..., 1]).astype(jnp.int32)
+        return mask, parts

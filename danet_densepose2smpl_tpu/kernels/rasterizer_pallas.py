@@ -106,12 +106,16 @@ def _raster_kernel(pmat_ref, e_ref, zc_ref, meta_ref, tex_ref, out_ref, zbuf, te
 
     def body(k, _):
         sl = pl.ds(k * _CHUNK, _CHUNK)
-        w0 = jnp.dot(pmat, e_ref[0, 0:3, sl], preferred_element_type=jnp.float32)
-        w1 = jnp.dot(pmat, e_ref[0, 3:6, sl], preferred_element_type=jnp.float32)
-        w2 = jnp.dot(pmat, e_ref[0, 6:9, sl], preferred_element_type=jnp.float32)
+        # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by
+        # default, which flips inside/outside tests near triangle edges
+        # (observed 18% pixel mismatch on TPU before pinning this)
+        hi = jax.lax.Precision.HIGHEST
+        w0 = jnp.dot(pmat, e_ref[0, 0:3, sl], precision=hi, preferred_element_type=jnp.float32)
+        w1 = jnp.dot(pmat, e_ref[0, 3:6, sl], precision=hi, preferred_element_type=jnp.float32)
+        w2 = jnp.dot(pmat, e_ref[0, 6:9, sl], precision=hi, preferred_element_type=jnp.float32)
         inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)       # (P, K)
 
-        za = jnp.dot(pmat, zc_ref[0, :, sl], preferred_element_type=jnp.float32)
+        za = jnp.dot(pmat, zc_ref[0, :, sl], precision=hi, preferred_element_type=jnp.float32)
         inv_a = meta_ref[0, 0:1, sl]                     # (1, K)
         val = meta_ref[0, 1:2, sl]                       # (1, K)
         zpix = za * inv_a
@@ -124,7 +128,7 @@ def _raster_kernel(pmat_ref, e_ref, zc_ref, meta_ref, tex_ref, out_ref, zbuf, te
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (p, _CHUNK), 1) == kidx[:, None]
         ).astype(jnp.float32)
-        texc = jnp.dot(onehot, tex_ref[sl], preferred_element_type=jnp.float32)  # (P, C)
+        texc = jnp.dot(onehot, tex_ref[sl], precision=hi, preferred_element_type=jnp.float32)  # (P, C)
 
         better = zmin < zbuf[:]
         zbuf[:] = jnp.where(better, zmin, zbuf[:])

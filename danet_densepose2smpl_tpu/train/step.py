@@ -25,6 +25,7 @@ from danet_densepose2smpl_tpu.core.config import Config
 from danet_densepose2smpl_tpu.models.danet import DaNet
 from danet_densepose2smpl_tpu.smpl import SMPLModel
 from danet_densepose2smpl_tpu.train.objective import compute_losses
+from danet_densepose2smpl_tpu.train.prepare import prepare_targets
 
 
 class TrainState(NamedTuple):
@@ -64,15 +65,22 @@ def make_train_step(
     mesh: Mesh | None = None,
     pretrain_mode: bool = False,
     donate: bool = True,
+    renderer=None,
+    is_itw: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
     Returns step(state, batch, rng) -> (state, metrics). With a mesh, the
     batch is expected sharded on the 'data' axis and state replicated.
+    When the batch carries raw GT (`opt_pose` from the fits lookup), the
+    full target preparation — pseudo-fit merge, camera WLS fits, target
+    keypoint projection, GT IUV rendering — runs inside the same jit.
     """
     optimizer = make_optimizer(cfg)
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        if "opt_pose" in batch and "opt_rotmat" not in batch:
+            batch = prepare_targets(cfg, smpl, batch, renderer=renderer, is_itw=is_itw)
         jit_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):

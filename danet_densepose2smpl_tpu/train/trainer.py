@@ -1,0 +1,128 @@
+"""Training loop: two-stage schedule, checkpoint/resume, metric logging.
+
+Parity: reference `train/base_trainer.py` + `train/trainer.py` — epoch loop
+with mid-epoch resume, `pretrain_mode = step <= pretr_step` two-stage
+schedule (IUV-only pretrain then joint training), periodic checkpointing and
+scalar summaries, and a wall-clock budget that checkpoints and exits cleanly
+for requeue environments (`--time_to_run`).
+
+TPU-native: the loop body is two compiled programs (pretrain / full) over
+the data-parallel mesh; the host only runs the input pipeline and the fits
+lookup.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from danet_densepose2smpl_tpu.core.checkpoint import CheckpointManager, MetricLogger, ResumePoint
+from danet_densepose2smpl_tpu.core.config import Config
+from danet_densepose2smpl_tpu.data.loader import ResumableLoader
+from danet_densepose2smpl_tpu.models.danet import DaNet
+from danet_densepose2smpl_tpu.parallel import make_mesh, shard_batch
+from danet_densepose2smpl_tpu.smpl import SMPLModel
+from danet_densepose2smpl_tpu.train.fits_dict import FitsDict
+from danet_densepose2smpl_tpu.train.step import TrainState, create_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        dataset,                      # MixedDataset or NpzDataset
+        smpl: SMPLModel,
+        renderer,                     # IUVRenderer or None
+        fits: FitsDict,
+        workdir: str,
+        mesh=None,
+        time_to_run: float | None = None,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.smpl = smpl
+        self.fits = fits
+        self.workdir = workdir
+        self.mesh = mesh
+        self.time_to_run = time_to_run
+        self.start_time = time.time()
+
+        self.loader = ResumableLoader(dataset, cfg.train.batch_size, seed=cfg.train.seed)
+        self.model = DaNet(cfg.danet, train=True)
+        is_itw = cfg.train.train_data == "h36m_coco_itw"
+
+        self.state = create_train_state(
+            self.model, cfg, jax.random.PRNGKey(cfg.train.seed),
+            jnp.zeros((1, cfg.danet.img_size, cfg.danet.img_size, 3)),
+        )
+        common = dict(mesh=mesh, renderer=renderer, is_itw=is_itw)
+        self.step_pretrain = make_train_step(self.model, smpl, cfg, pretrain_mode=True, **common)
+        self.step_full = make_train_step(self.model, smpl, cfg, pretrain_mode=False, **common)
+
+        self.ckpt = CheckpointManager(f"{workdir}/checkpoints")
+        self.logger = MetricLogger(f"{workdir}/metrics.jsonl")
+        self.resume = ResumePoint(0, 0, 0)
+
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state, self.resume = restored
+            print(f"resumed from step {self.resume.step} (epoch {self.resume.epoch}, batch {self.resume.batch_idx})")
+
+    def _out_of_time(self) -> bool:
+        return self.time_to_run is not None and (time.time() - self.start_time) > self.time_to_run
+
+    def _device_batch(self, batch: dict) -> dict:
+        names = batch.pop("dataset_name", ["" for _ in range(len(batch["sample_index"]))])
+        if isinstance(names, str):
+            names = [names]
+        batch.pop("imgname", None)
+        batch.pop("maskname", None)
+        batch.pop("partname", None)
+
+        opt_pose, opt_betas, opt_valid = self.fits.lookup(
+            names, batch["sample_index"], batch["rot_angle"], batch["is_flipped"]
+        )
+        batch["opt_pose"] = opt_pose
+        batch["opt_betas"] = opt_betas
+        batch["opt_valid"] = opt_valid
+        batch["is_dp_dataset"] = np.array([n == "dp_coco" for n in names], np.float32)
+
+        batch = jax.tree.map(jnp.asarray, batch)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def train(self, num_epochs: int | None = None) -> TrainState:
+        cfg = self.cfg
+        epochs = num_epochs if num_epochs is not None else cfg.train.num_epochs
+        rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        step_count = self.resume.step
+        start_epoch, start_batch = self.resume.epoch, self.resume.batch_idx
+
+        for epoch in range(start_epoch, epochs):
+            for b_idx, batch in self.loader.epoch(epoch, start_batch if epoch == start_epoch else 0):
+                pretrain = step_count < cfg.train.pretr_step
+                step_fn = self.step_pretrain if pretrain else self.step_full
+                batch = self._device_batch(batch)
+                self.state, metrics = step_fn(self.state, batch, rng)
+                step_count += 1
+
+                if step_count % cfg.train.summary_steps == 0:
+                    self.logger.log(step_count, metrics)
+                    print(f"e{epoch} b{b_idx} step {step_count} "
+                          f"loss {float(metrics['loss_total']):.3f}"
+                          + (" [pretrain]" if pretrain else ""))
+
+                if step_count % cfg.train.checkpoint_steps == 0:
+                    self.ckpt.save(self.state, ResumePoint(epoch, b_idx + 1, step_count))
+
+                if self._out_of_time():
+                    print("time budget exceeded; checkpointing and exiting")
+                    self.ckpt.save(self.state, ResumePoint(epoch, b_idx + 1, step_count), wait=True)
+                    return self.state
+
+        self.ckpt.save(self.state, ResumePoint(epochs, 0, step_count), wait=True)
+        return self.state

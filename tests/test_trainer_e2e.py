@@ -1,0 +1,81 @@
+"""End-to-end training integration: fixture dataset -> Trainer (with GT
+preparation + rasterized IUV supervision inside the jitted step) ->
+checkpoint -> resume. The SURVEY.md §4 integration-test strategy."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from danet_densepose2smpl_tpu.core.config import Config, DaNetConfig, TrainConfig
+from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+from danet_densepose2smpl_tpu.kernels import IUVRenderer
+from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
+from danet_densepose2smpl_tpu.smpl.densepose_atlas import synthetic_densepose_atlas
+from danet_densepose2smpl_tpu.train import FitsDict, Trainer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("train_e2e")
+    npz, img_dir = write_synthetic_dataset(str(d), n=8, with_dp=True)
+    cfg = Config(
+        danet=DaNetConfig(iuv_regressor="resnet", msres_num_layers=18, img_size=64, heatmap_size=16),
+        train=TrainConfig(batch_size=4, pretr_step=1, summary_steps=1, checkpoint_steps=100),
+    )
+    ds = NpzDataset(npz, img_dir, name="synth", is_train=True, heatmap_size=16)
+    # dataset images are 256px; re-crop target is cfg.img_size
+    smpl = synthetic_smpl_model(num_verts=300, seed=0)
+    atlas = synthetic_densepose_atlas(smpl, seed=0)
+    renderer = IUVRenderer(atlas, orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size, chunk=256)
+    fits = FitsDict.from_datasets({"synth": ds})
+    return d, cfg, ds, smpl, renderer, fits
+
+
+class Resized:
+    """Wrap the dataset to emit cfg-size images (IMG_RES is 224-fixed in the
+    dataset; shrink for the test)."""
+
+    def __init__(self, ds, size):
+        self.ds = ds
+        self.size = size
+        self.pose = ds.pose
+        self.betas = ds.betas
+        self.has_smpl = ds.has_smpl
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i, rng=None):
+        import cv2
+
+        item = self.ds.__getitem__(i, rng=rng)
+        item["img"] = cv2.resize(item["img"], (self.size, self.size))
+        return item
+
+
+def test_trainer_two_stage_and_resume(setup):
+    d, cfg, ds, smpl, renderer, fits = setup
+    fits = FitsDict.from_datasets({"synth": Resized(ds, 64)})
+    wrapped = Resized(ds, 64)
+
+    workdir = str(d / "run1")
+    trainer = Trainer(cfg, wrapped, smpl, renderer, fits, workdir)
+    state = trainer.train(num_epochs=1)
+    assert int(state.step) == 2  # 8 samples / batch 4 = 2 steps
+    # metrics logged
+    import json
+
+    rows = [json.loads(l) for l in open(f"{workdir}/metrics.jsonl")]
+    assert len(rows) == 2
+    # step 1 ran in pretrain mode (no smpl losses), step 2 full
+    assert "smpl_pose" not in rows[0]
+    assert "smpl_pose" in rows[1]
+    assert np.isfinite(rows[1]["loss_total"])
+
+    # resume: new trainer restores the final checkpoint and continues
+    trainer2 = Trainer(cfg, wrapped, smpl, renderer, fits, workdir)
+    assert trainer2.resume.step == 2
+    state2 = trainer2.train(num_epochs=2)
+    assert int(state2.step) == 4

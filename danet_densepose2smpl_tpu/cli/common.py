@@ -1,0 +1,115 @@
+"""Shared CLI plumbing: asset resolution, checkpoint loading, arg groups.
+
+The reference hard-codes asset paths in `path_config.py`; here every asset
+(SMPL model, DensePose UV atlas, H36M joint regressor, SPIN mean params)
+resolves from flags/environment with a `--synthetic-assets` fallback so
+every entry point runs in asset-free environments (fixtures, CI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--cfg", default=None, help="YAML config (reference layout)")
+    p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir (or empty for random init)")
+    p.add_argument("--regressor", default="danet", choices=["danet", "hmr"])
+    p.add_argument("--smpl_model", default=os.environ.get("SMPL_MODEL_PATH"),
+                   help=".pkl/.npz SMPL model (dir ok); synthetic if absent")
+    p.add_argument("--uv_atlas", default=os.environ.get("DENSEPOSE_UV_PATH"),
+                   help="UV_Processed.mat; synthetic if absent")
+    p.add_argument("--j_regressor_h36m", default=os.environ.get("J_REGRESSOR_H36M"),
+                   help="J_regressor_h36m.npy; synthetic if absent")
+    p.add_argument("--j_regressor_extra", default=os.environ.get("J_REGRESSOR_EXTRA"))
+    p.add_argument("--smpl_mean_params", default=os.environ.get("SMPL_MEAN_PARAMS"))
+    p.add_argument("--synthetic-assets", action="store_true",
+                   help="force synthetic SMPL/atlas/regressor assets")
+    p.add_argument("--num_verts", type=int, default=6890,
+                   help="vertex count for synthetic SMPL (tests use fewer)")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def load_assets(args):
+    """Returns (smpl_model, atlas, j_regressor_h36m, mean_params)."""
+    from danet_densepose2smpl_tpu.eval.harness import synthetic_h36m_regressor
+    from danet_densepose2smpl_tpu.models.smpl_regressor import load_mean_params
+    from danet_densepose2smpl_tpu.smpl import load_smpl_model, synthetic_smpl_model
+    from danet_densepose2smpl_tpu.smpl.densepose_atlas import (
+        load_densepose_atlas,
+        synthetic_densepose_atlas,
+    )
+
+    if args.smpl_model and not args.synthetic_assets:
+        smpl = load_smpl_model(args.smpl_model, j_regressor_extra_path=args.j_regressor_extra)
+    else:
+        smpl = synthetic_smpl_model(num_verts=args.num_verts, seed=args.seed)
+
+    if args.uv_atlas and not args.synthetic_assets:
+        atlas = load_densepose_atlas(args.uv_atlas)
+    else:
+        atlas = synthetic_densepose_atlas(smpl, seed=args.seed)
+
+    if args.j_regressor_h36m and not args.synthetic_assets:
+        jreg = np.load(args.j_regressor_h36m).astype(np.float32)
+    else:
+        jreg = synthetic_h36m_regressor(smpl.num_verts, seed=args.seed)
+
+    mean = load_mean_params(None if args.synthetic_assets else args.smpl_mean_params)
+    return smpl, atlas, jreg, mean
+
+
+def build_model_and_params(args, cfg, train: bool = False):
+    """Construct the model; restore params from --checkpoint or random-init."""
+    import jax
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.models.danet import DaNet
+    from danet_densepose2smpl_tpu.nn.hmr import HMR
+
+    if args.regressor == "hmr":
+        model = HMR(train=train)
+        sample = (jnp.zeros((1, cfg.danet.img_size, cfg.danet.img_size, 3)),
+                  jnp.zeros((1, 144)), jnp.zeros((1, 10)), jnp.asarray([[0.9, 0.0, 0.0]]))
+        variables = model.init({"params": jax.random.PRNGKey(args.seed)}, *sample)
+    else:
+        model = DaNet(cfg.danet, train=train)
+        rngs = {"params": jax.random.PRNGKey(args.seed)}
+        if train:
+            rngs.update(jitter=jax.random.PRNGKey(1), partdrop=jax.random.PRNGKey(2))
+        variables = model.init(rngs, jnp.zeros((1, cfg.danet.img_size, cfg.danet.img_size, 3)))
+
+    if args.checkpoint:
+        import jax.numpy as jnp
+
+        from danet_densepose2smpl_tpu.core.checkpoint import CheckpointManager
+        from danet_densepose2smpl_tpu.train.step import TrainState, make_optimizer
+
+        mngr = CheckpointManager(args.checkpoint)
+        # the stored tree is a full TrainState; rebuild its template from cfg
+        opt_template = make_optimizer(cfg).init(variables["params"])
+        template = TrainState(
+            variables["params"], variables.get("batch_stats", {}), opt_template,
+            jnp.zeros((), jnp.int32),
+        )
+        restored = mngr.restore(template)
+        if restored is not None:
+            state, _ = restored
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            print(f"restored checkpoint from {args.checkpoint}")
+    return model, variables
+
+
+def dump_run_config(args, cfg, out_dir: str):
+    """Persist the resolved run configuration (reference train_options.py
+    dumps config.json per run)."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {"args": {k: str(v) for k, v in vars(args).items()}}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(payload, f, indent=2)

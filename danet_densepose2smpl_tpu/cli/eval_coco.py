@@ -1,0 +1,72 @@
+"""COCO keypoint OKS AP evaluation.
+
+Parity: reference `eval_coco.py` — SMPL joints -> COCO-17 -> perspective
+projection -> inverse crop transform -> OKS AP table.
+
+Usage:
+  python -m danet_densepose2smpl_tpu.cli.eval_coco --npz coco_labels.npz \
+      --img_dir images/ [--checkpoint ckpt]
+  python -m danet_densepose2smpl_tpu.cli.eval_coco --synthetic-data
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from danet_densepose2smpl_tpu.cli.common import add_common_args, build_model_and_params, load_assets
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--npz", default=None)
+    p.add_argument("--img_dir", default=None)
+    p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--num_samples", type=int, default=32)
+    p.add_argument("--result_file", default=None)
+    args = p.parse_args(argv)
+
+    from danet_densepose2smpl_tpu.core.config import load_config
+    from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+    from danet_densepose2smpl_tpu.data.loader import ResumableLoader
+    from danet_densepose2smpl_tpu.eval.coco_harness import run_coco_eval
+
+    cfg = load_config(args.cfg)
+    if args.synthetic_data:
+        args.synthetic_assets = True
+    smpl, _, _, _ = load_assets(args)
+    model, variables = build_model_and_params(args, cfg, train=False)
+
+    if args.synthetic_data:
+        import tempfile
+
+        from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+
+        tmp = tempfile.mkdtemp(prefix="danet_coco_")
+        args.npz, args.img_dir = write_synthetic_dataset(tmp, n=args.num_samples)
+    if args.npz is None:
+        raise SystemExit("--npz required (or --synthetic-data)")
+
+    ds = NpzDataset(args.npz, args.img_dir, name="coco", is_train=False,
+                    heatmap_size=cfg.danet.heatmap_size)
+    loader = ResumableLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+
+    def infer_fn(img):
+        return model.apply(variables, img)["para"]
+
+    ap, preds = run_coco_eval(infer_fn, loader.epoch(0), smpl, img_res=cfg.danet.img_size)
+
+    print("| Metric | Value |")
+    print("|--------|-------|")
+    for k in ("AP", "AP50", "AP75", "AR"):
+        print(f"| {k:6s} | {ap[k]:.4f} |")
+
+    if args.result_file:
+        np.savez(args.result_file, preds=preds, **ap)
+        print(f"saved {args.result_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -186,8 +186,11 @@ class DecomposedPredictor(nn.Module):
             return pose
 
         if c.refine_strategy in ("gcn", "gcn_direct"):
+            # aux heads are built unconditionally so train- and eval-mode
+            # models share one parameter tree (checkpoints interchange);
+            # their outputs are dead code at eval and XLA removes them
+            init_pose = PartwiseDense(rot_dim, init_gain=0.01, name="pose_regressor_0")(rot_feats)
             if self.train:
-                init_pose = PartwiseDense(rot_dim, init_gain=0.01, name="pose_regressor_0")(rot_feats)
                 out["joint_rotation"].append(to_rotmat_flat(init_pose))
 
             if c.refine_strategy == "gcn":
@@ -199,8 +202,10 @@ class DecomposedPredictor(nn.Module):
             else:
                 pos_init = rot_feats
 
-            if self.train and c.joint_position_weights > 0 and r.pos_intersupv and c.refine_strategy == "gcn":
-                out["joint_position"].append(PartwiseDense(3, name="coord_regressor_0")(pos_init))
+            if c.joint_position_weights > 0 and r.pos_intersupv and c.refine_strategy == "gcn":
+                coords0 = PartwiseDense(3, name="coord_regressor_0")(pos_init)
+                if self.train:
+                    out["joint_position"].append(coords0)
 
             if r.refine_on:
                 mask = jnp.asarray(refine_edge_mask())
@@ -213,8 +218,10 @@ class DecomposedPredictor(nn.Module):
                     train=self.train, axis_name=self.axis_name, name="refine_gcn",
                 )(pos_init, norm_A)
                 pos_refined = pos_init + refined
-                if self.train and c.joint_position_weights > 0 and r.pos_intersupv and c.refine_strategy == "gcn":
-                    out["joint_position"].append(PartwiseDense(3, name="coord_regressor_1")(pos_refined))
+                if c.joint_position_weights > 0 and r.pos_intersupv and c.refine_strategy == "gcn":
+                    coords1 = PartwiseDense(3, name="coord_regressor_1")(pos_refined)
+                    if self.train:
+                        out["joint_position"].append(coords1)
             else:
                 pos_refined = pos_init
 

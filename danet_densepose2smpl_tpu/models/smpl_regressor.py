@@ -116,6 +116,50 @@ class MLP1x1(nn.Module):
         return y.reshape(b, n, self.out)
 
 
+class BiLSTM(nn.Module):
+    """Bidirectional single-layer LSTM with explicit carry handoff.
+
+    Matches torch `nn.LSTM(F, F, num_layers=1, batch_first=True,
+    bidirectional=True)` semantics: returns (y (B, T, 2F), final carries
+    ((fwd_c, fwd_h), (bwd_c, bwd_h))) so the reference's hidden-state reuse
+    between kinematic branches (`smpl_regressor.py:800-815`) carries over.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, init=None):
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features), return_carry=True, name="fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features), return_carry=True, name="bwd")
+        if init is not None:
+            cf, yf = fwd(x, initial_carry=init[0])
+            cb, yb = bwd(x[:, ::-1], initial_carry=init[1])
+        else:
+            cf, yf = fwd(x)
+            cb, yb = bwd(x[:, ::-1])
+        return jnp.concatenate([yf, yb[:, ::-1]], axis=-1), (cf, cb)
+
+
+# Kinematic-branch orders of the LSTM strategies (reference
+# smpl_regressor.py:459-476): limb branches for the rot2pos sweep, and the
+# root-anchored chains the Bi-LSTMs run along.
+LIMB_BRANCHES = (
+    (0, 3, 6, 9, 12, 15),
+    (13, 16, 18, 20, 22),
+    (14, 17, 19, 21, 23),
+    (1, 4, 7, 10),
+    (2, 5, 8, 11),
+)
+LSTM_CHAINS = (
+    (0, 3, 6, 9),
+    (12, 15),
+    (9, 13, 16, 18, 20, 22),
+    (9, 14, 17, 19, 21, 23),
+    (0, 1, 4, 7, 10),
+    (0, 2, 5, 8, 11),
+)
+
+
 class GlobalPredictor(nn.Module):
     """Single ResNet on the 75-ch stacked IUV map -> 229 params."""
 
@@ -236,10 +280,103 @@ class DecomposedPredictor(nn.Module):
 
             local_pose = PartwiseDense(rot_dim, init_gain=0.01, name="pose_regressor_1")(rot_refined)
             smpl_pose = to_rotmat_flat(local_pose)
+        elif c.refine_strategy in ("lstm", "lstm_direct"):
+            smpl_pose = self._lstm_refine(c, r, rot_feats, rot_dim, to_rotmat_flat, out)
         else:
-            raise NotImplementedError(
-                f"refine strategy '{c.refine_strategy}' not implemented yet (gcn/gcn_direct available)"
-            )
+            raise ValueError(f"unknown refine strategy '{c.refine_strategy}'")
 
         out["para"] = jnp.concatenate([global_para, smpl_pose], axis=1)
         return out
+
+    def _lstm_refine(self, c, r, rot_feats, rot_dim, to_rotmat_flat, out):
+        """'lstm' / 'lstm_direct' strategies (reference
+        smpl_regressor.py:509-580, :727-842): per-joint rot2pos MLPs swept
+        down the kinematic branches, Bi-LSTM refinement along the six
+        root-anchored chains with hidden-state handoff from the trunk chain,
+        (parent, self, child) aggregation, grouped pose heads."""
+        from danet_densepose2smpl_tpu.ops.structure import SMPL_CHILD2, SMPL_PARENT
+
+        direct = c.refine_strategy == "lstm_direct"
+        b = rot_feats.shape[0]
+        f = r.feat_dim
+
+        init_pose = PartwiseDense(rot_dim, init_gain=0.01, name="pose_regressor_0")(rot_feats)
+        if self.train or direct:
+            out["joint_rotation"].append(
+                init_pose.reshape(b, -1) if direct else to_rotmat_flat(init_pose)
+            )
+
+        feats = rot_feats
+        for s_i in range(r.stack_num):
+            if direct:
+                pos = {i: feats[:, i] for i in range(24)}
+            else:
+                # rot2pos sweep: per-joint MLP on (parent pos, parent rot)
+                pos = {0: feats[:, 0]}
+                for branch in LIMB_BRANCHES:
+                    for ind in branch:
+                        p = int(SMPL_PARENT[ind])
+                        cat = jnp.concatenate([pos[p], feats[:, p]], axis=-1)
+                        pos[ind] = MLP1x1(
+                            512, f, train=self.train, axis_name=self.axis_name,
+                            name=f"rot2pos_{s_i}_{ind}",
+                        )(cat[:, None, :])[:, 0]
+                if c.joint_position_weights > 0 and r.pos_intersupv:
+                    stack = jnp.stack([pos[i] for i in range(24)], axis=1)
+                    coords = PartwiseDense(3, name=f"coord_regressor_{s_i}_pre")(stack)
+                    if self.train:
+                        out["joint_position"].append(coords)
+
+            # Bi-LSTM along the six chains; trunk chain's final carry seeds
+            # chains 1-3 (reference's hidden_feat reuse)
+            lstm_trunk = BiLSTM(f, name=f"lstm_{s_i}_0")
+            refined = {}
+            y0, carry = lstm_trunk(jnp.stack([pos[i] for i in LSTM_CHAINS[0]], axis=1))
+            for t, ind in enumerate(LSTM_CHAINS[0]):
+                refined[ind] = y0[:, t]
+            specs = [
+                (1, lstm_trunk, carry),
+                (2, BiLSTM(f, name=f"lstm_{s_i}_1"), carry),
+                (3, BiLSTM(f, name=f"lstm_{s_i}_2"), carry),
+                (4, BiLSTM(f, name=f"lstm_{s_i}_3"), None),
+                (5, BiLSTM(f, name=f"lstm_{s_i}_4"), None),
+            ]
+            for br, cell, init in specs:
+                chain = LSTM_CHAINS[br]
+                y, _ = cell(jnp.stack([pos[i] for i in chain], axis=1), init=init)
+                for t, ind in enumerate(chain):
+                    if ind in (0, 9) and br != 0:
+                        continue  # anchor joints keep the trunk output
+                    refined[ind] = y[:, t]
+
+            # residual update in the doubled (bi-directional) width
+            pos2 = {i: jnp.concatenate([pos[i], pos[i]], axis=-1) + refined[i] for i in range(24)}
+
+            if direct:
+                stack = jnp.stack([pos2[i] for i in range(24)], axis=1)
+                local = PartwiseDense(9, name=f"pose_regressor_direct_{s_i}")(stack)
+                return local.reshape(b, -1)
+
+            if c.joint_position_weights > 0 and r.pos_intersupv:
+                stack = jnp.stack([pos2[i] for i in range(24)], axis=1)
+                coords = PartwiseDense(3, name=f"coord_regressor_{s_i}_post")(stack)
+                if self.train:
+                    out["joint_position"].append(coords)
+
+            # (parent, self, child) aggregation -> shared pos2rot MLP
+            tri = jnp.stack(
+                [
+                    jnp.concatenate(
+                        [pos2[int(SMPL_PARENT[i])], pos2[i], pos2[int(SMPL_CHILD2[i])]], axis=-1
+                    )
+                    for i in range(24)
+                ],
+                axis=1,
+            )  # (B, 24, 6F)
+            feats = MLP1x1(
+                1024, f, train=self.train, axis_name=self.axis_name, name=f"pos2rot_{s_i}",
+            )(tri)
+
+            local = PartwiseDense(rot_dim, init_gain=0.01, name=f"pose_regressor_{s_i + 1}")(feats)
+            smpl_pose = to_rotmat_flat(local)
+        return smpl_pose

@@ -149,3 +149,23 @@ def test_danet_pretrain_mode_skips_regressor(danet_setup):
     cfg, model, img, variables = danet_setup
     out = model.apply(variables, img, pretrain_mode=True)
     assert "para" not in out and "iuv_clean" in out
+
+
+@pytest.mark.parametrize("strategy", ["lstm", "lstm_direct", "gcn_direct"])
+def test_refine_strategy_variants(strategy, rng):
+    cfg = small_cfg(refine_strategy=strategy)
+    m = DecomposedPredictor(cfg, default_mean_params(), train=True)
+    iuv = jnp.zeros((2, 56, 56, 75))
+    part = jnp.zeros((2, 24, 56, 56, 3, 7))
+    v = m.init({"params": jax.random.PRNGKey(0)}, iuv, part)
+    out, _ = m.apply(v, iuv, part, mutable=["batch_stats"])
+    assert out["para"].shape == (2, 229)
+    if strategy == "lstm":
+        R = np.asarray(out["para"][:, 13:]).reshape(-1, 3, 3)
+        eye = np.einsum("bik,blk->bil", R, R)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+    # train/eval parameter trees must be interchangeable (checkpoint compat)
+    ve = DecomposedPredictor(cfg, default_mean_params(), train=False).init(
+        {"params": jax.random.PRNGKey(0)}, iuv, part
+    )
+    assert jax.tree.structure(v["params"]) == jax.tree.structure(ve["params"])

@@ -9,11 +9,24 @@ string RLE, both directions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+_USE_NATIVE = os.environ.get("DANET_NO_NATIVE", "0") != "1"
 
 
 def decode_rle(rle: dict) -> np.ndarray:
-    """RLE dict -> (h, w) uint8 mask. COCO RLE is column-major."""
+    """RLE dict -> (h, w) uint8 mask. COCO RLE is column-major.
+
+    Uses the C++ codec (native/rle.cpp) when a toolchain is available,
+    falling back to the numpy implementation below."""
+    if _USE_NATIVE:
+        from danet_densepose2smpl_tpu.native.rle_bindings import decode_rle_native
+
+        out = decode_rle_native(rle)
+        if out is not None:
+            return out
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
@@ -88,6 +101,12 @@ def compress_counts(counts: list) -> bytes:
 def decode_dp_masks(dp_masks: list) -> np.ndarray:
     """14-part DensePose `dp_masks` list -> (256, 256) part-label image
     (reference `utils/segms.py:34-40`: part i+1 where mask i is set)."""
+    if _USE_NATIVE:
+        from danet_densepose2smpl_tpu.native.rle_bindings import decode_dp_masks_native
+
+        out = decode_dp_masks_native(dp_masks)
+        if out is not None:
+            return out
     label = np.zeros((256, 256), dtype=np.uint8)
     for i, rle in enumerate(dp_masks):
         if rle:

@@ -152,3 +152,30 @@ def test_mixed_dataset_partition(ds_dir):
         item = mixed.__getitem__(i % len(mixed), rng=np.random.RandomState(i))
         counts[int(item["dataset_idx"])] += 1
     assert counts[0] > 120 and counts[1] > 10
+
+
+def test_native_rle_matches_numpy(rng):
+    """C++ codec (when the toolchain exists) agrees with the numpy impl."""
+    from danet_densepose2smpl_tpu.native import rle_bindings as nb
+
+    if not nb.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    for shape in [(64, 48), (256, 256), (31, 17)]:
+        mask = (rng.rand(*shape) > 0.6).astype(np.uint8)
+        rle = encode_rle(mask)
+        native = nb.decode_rle_native(rle)
+        np.testing.assert_array_equal(native, mask)
+        rle_n = nb.encode_rle_native(mask)
+        assert rle_n["counts"] == list(rle["counts"])
+        # compressed string path
+        comp = {"size": rle["size"], "counts": compress_counts(rle["counts"])}
+        np.testing.assert_array_equal(nb.decode_rle_native(comp), mask)
+
+    masks = []
+    for p in range(14):
+        m = np.zeros((256, 256), np.uint8)
+        m[p * 8 : p * 8 + 30, 10:200] = 1
+        masks.append(encode_rle(m))
+    np.testing.assert_array_equal(nb.decode_dp_masks_native(masks), decode_dp_masks(masks))

@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--fits_dir", default=None, help="SPIN final-fits directory")
     p.add_argument("--static_fits_dir", default=None)
     p.add_argument("--time_to_run", type=float, default=None, help="seconds before clean save+exit")
+    p.add_argument("--vis_interval", type=int, default=None)
+    p.add_argument("--summary_steps", type=int, default=None)
     p.add_argument("--resume", action="store_true", help="(default behavior: auto-resume from workdir)")
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--num_samples", type=int, default=16)
@@ -58,6 +60,10 @@ def main(argv=None):
     if args.img_size is not None:
         overrides["danet.img_size"] = args.img_size
         overrides["danet.heatmap_size"] = max(16, args.img_size // 4)
+    if args.vis_interval is not None:
+        overrides["train.vis_interval"] = args.vis_interval
+    if args.summary_steps is not None:
+        overrides["train.summary_steps"] = args.summary_steps
     overrides["train.batch_size"] = args.batch_size
     overrides["train.train_data"] = args.train_data
     if overrides:

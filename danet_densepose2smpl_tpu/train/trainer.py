@@ -119,6 +119,12 @@ class Trainer:
                 if step_count % cfg.train.checkpoint_steps == 0:
                     self.ckpt.save(self.state, ResumePoint(epoch, b_idx + 1, step_count))
 
+                if cfg.train.vis_interval and step_count % cfg.train.vis_interval == 0:
+                    try:
+                        self._save_vis(batch, step_count)
+                    except Exception as e:  # vis must never kill training
+                        print(f"vis failed at step {step_count}: {e}")
+
                 if self._out_of_time():
                     print("time budget exceeded; checkpointing and exiting")
                     self.ckpt.save(self.state, ResumePoint(epoch, b_idx + 1, step_count), wait=True)
@@ -126,3 +132,47 @@ class Trainer:
 
         self.ckpt.save(self.state, ResumePoint(epochs, 0, step_count), wait=True)
         return self.state
+
+    def _save_vis(self, device_batch: dict, step_count: int) -> None:
+        """Periodic training visualization: predicted vs GT IUV panels
+        (the reference's TensorBoard image summaries, trainer.py:250-305),
+        written as PNGs under <workdir>/vis/."""
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from danet_densepose2smpl_tpu.models.danet import DaNet
+        from danet_densepose2smpl_tpu.ops.iuvmap import iuv_map2img
+        from danet_densepose2smpl_tpu.utils.vis import denormalize_image
+
+        eval_model = DaNet(self.cfg.danet, train=False)
+        out = eval_model.apply(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            device_batch["img"][:4],
+        )
+        u, v, i, a = out["iuv_clean"]
+        pred_iuv = np.asarray(iuv_map2img(u, v, i, a))
+
+        n = pred_iuv.shape[0]
+        has_gt = "uv_image_gt" in device_batch
+        rows = 3 if has_gt else 2
+        fig, axes = plt.subplots(rows, n, figsize=(3 * n, 3 * rows), squeeze=False)
+        for k in range(n):
+            axes[0][k].imshow(denormalize_image(np.asarray(device_batch["img"][k])))
+            axes[1][k].imshow(np.clip(pred_iuv[k], 0, 1))
+            if has_gt:
+                axes[2][k].imshow(np.clip(np.asarray(device_batch["uv_image_gt"][k]), 0, 1))
+            for r in range(rows):
+                axes[r][k].axis("off")
+        axes[0][0].set_title("input")
+        axes[1][0].set_title("pred IUV")
+        if has_gt:
+            axes[2][0].set_title("GT IUV")
+        vis_dir = os.path.join(self.workdir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        fig.tight_layout()
+        fig.savefig(os.path.join(vis_dir, f"step_{step_count:07d}.png"), dpi=90)
+        plt.close(fig)

@@ -179,3 +179,28 @@ def test_native_rle_matches_numpy(rng):
         m[p * 8 : p * 8 + 30, 10:200] = 1
         masks.append(encode_rle(m))
     np.testing.assert_array_equal(nb.decode_dp_masks_native(masks), decode_dp_masks(masks))
+
+
+def test_device_preprocess_matches_host_crop(rng):
+    """The jitted device crop must match the host cv2 crop (bilinear)."""
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.constants import IMG_NORM_MEAN, IMG_NORM_STD
+    from danet_densepose2smpl_tpu.data.pipeline import device_preprocess
+
+    yy, xx = np.mgrid[0:180, 0:160]
+    img = np.stack([yy, xx, (yy + xx) * 0.7], -1).astype(np.uint8)  # smooth, no wrap
+    imgs = np.stack([img, img[::-1].copy()])
+    centers = np.array([[80.0, 90.0], [70.0, 100.0]], np.float32)
+    scales = np.array([0.6, 0.5], np.float32)
+
+    got = np.asarray(device_preprocess(jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales), out_size=64))
+
+    for i in range(2):
+        ref = crop(imgs[i].astype(np.float32), centers[i], scales[i], (64, 64)) / 255.0
+        ref = (ref - IMG_NORM_MEAN) / IMG_NORM_STD
+        # interiors match to interpolation tolerance (borders differ by
+        # padding convention)
+        diff = np.abs(got[i, 2:-2, 2:-2] - ref[2:-2, 2:-2])
+        assert diff.max() < 0.1, diff.max()
+        assert np.median(diff) < 0.01

@@ -46,8 +46,21 @@ def load_assets(args):
         synthetic_densepose_atlas,
     )
 
+    import os
+
+    smpl_male = smpl_female = None
     if args.smpl_model and not args.synthetic_assets:
         smpl = load_smpl_model(args.smpl_model, j_regressor_extra_path=args.j_regressor_extra)
+        if os.path.isdir(args.smpl_model):
+            # gendered models for the 3DPW eval (reference eval.py:68-75)
+            for gender, slot in (("male", "smpl_male"), ("female", "smpl_female")):
+                p = os.path.join(args.smpl_model, f"SMPL_{gender.upper()}.pkl")
+                if os.path.isfile(p):
+                    locals_model = load_smpl_model(p, j_regressor_extra_path=args.j_regressor_extra)
+                    if gender == "male":
+                        smpl_male = locals_model
+                    else:
+                        smpl_female = locals_model
     else:
         smpl = synthetic_smpl_model(num_verts=args.num_verts, seed=args.seed)
 
@@ -62,7 +75,7 @@ def load_assets(args):
         jreg = synthetic_h36m_regressor(smpl.num_verts, seed=args.seed)
 
     mean = load_mean_params(None if args.synthetic_assets else args.smpl_mean_params)
-    return smpl, atlas, jreg, mean
+    return smpl, atlas, jreg, mean, (smpl_male or smpl), (smpl_female or smpl)
 
 
 def build_model_and_params(args, cfg, train: bool = False):

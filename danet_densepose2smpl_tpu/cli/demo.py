@@ -41,7 +41,7 @@ def main(argv=None):
     from danet_densepose2smpl_tpu.utils import vis
 
     cfg = load_config(args.cfg)
-    smpl, atlas, _, _ = load_assets(args)
+    smpl, atlas, _, _, _, _ = load_assets(args)
     model, variables = build_model_and_params(args, cfg, train=False)
     renderer = IUVRenderer(atlas, orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size)
 

@@ -43,7 +43,7 @@ def main(argv=None):
     cfg = load_config(args.cfg)
     if args.synthetic_data:
         args.synthetic_assets = True
-    smpl, atlas, jreg, _ = load_assets(args)
+    smpl, atlas, jreg, _, smpl_male, smpl_female = load_assets(args)
     model, variables = build_model_and_params(args, cfg, train=False)
 
     if args.synthetic_data:
@@ -86,7 +86,7 @@ def main(argv=None):
 
     result = run_pose_eval(
         infer_fn, loader.epoch(0), args.dataset, smpl, jreg,
-        smpl_male=smpl, smpl_female=smpl,
+        smpl_male=smpl_male, smpl_female=smpl_female,
         imgnames=ds.imgname, log_every=args.log_freq,
     )
     print(result.summary(args.dataset))

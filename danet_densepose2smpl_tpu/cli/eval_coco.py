@@ -36,7 +36,7 @@ def main(argv=None):
     cfg = load_config(args.cfg)
     if args.synthetic_data:
         args.synthetic_assets = True
-    smpl, _, _, _ = load_assets(args)
+    smpl, _, _, _, _, _ = load_assets(args)
     model, variables = build_model_and_params(args, cfg, train=False)
 
     if args.synthetic_data:

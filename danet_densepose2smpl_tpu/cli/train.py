@@ -73,7 +73,7 @@ def main(argv=None):
 
     if args.synthetic_data:
         args.synthetic_assets = True
-    smpl, atlas, _, _ = load_assets(args)
+    smpl, atlas, _, _, _, _ = load_assets(args)
 
     # --- datasets ---
     datasets = {}

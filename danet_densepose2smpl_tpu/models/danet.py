@@ -78,11 +78,23 @@ class DaNet(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, pretrain_mode: bool = False) -> dict:
+    def __call__(
+        self,
+        image: jnp.ndarray,
+        pretrain_mode: bool = False,
+        uv_image_gt: jnp.ndarray | None = None,
+        smpl_kps_gt: jnp.ndarray | None = None,
+    ) -> dict:
         c = self.cfg
         mp = self.mean_params or default_mean_params()
 
-        est = IUVEstimator(c, train=self.train, axis_name=self.axis_name, name="img2iuv")(image)
+        if c.input_mode == "iuv_gt":
+            # oracle ablation (reference danet.py:67-73, iuv_estimator.py:64-89):
+            # no backbone — GT IUV maps feed the regressor directly, with STN
+            # crops centred on the GT SMPL keypoints
+            est = self._oracle_inputs(uv_image_gt, smpl_kps_gt)
+        else:
+            est = IUVEstimator(c, train=self.train, axis_name=self.axis_name, name="img2iuv")(image)
         out = {"iuv_raw": est}
 
         u, v, index, ann = est["u"], est["v"], est["index"], est["ann"]
@@ -117,3 +129,35 @@ class DaNet(nn.Module):
         out["pred_shape"] = para[:, 3:13]
         out["pred_rotmat"] = para[:, 13:].reshape(-1, 24, 3, 3)
         return out
+
+    def _oracle_inputs(self, uv_image_gt, smpl_kps_gt):
+        """'iuv_gt' mode: GT IUV maps + GT-keypoint STN crops, with the
+        learned crop ratio/offset trainable (reference
+        iuv_estimator.py:26-28, :64-89)."""
+        from danet_densepose2smpl_tpu.models.iuv_estimator import (
+            LEARNED_OFFSET,
+            LEARNED_RATIO,
+            stn_affine_params,
+        )
+        from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
+        from danet_densepose2smpl_tpu.train.objective import part_iuv_gt_crops
+
+        assert uv_image_gt is not None and smpl_kps_gt is not None, \
+            "input_mode='iuv_gt' needs uv_image_gt and smpl_kps_gt"
+        c = self.cfg
+        u, v, index, ann = iuv_img2map(uv_image_gt)
+
+        ratio = self.param("stn_ratio", lambda k: jnp.asarray(LEARNED_RATIO))
+        off = self.param("stn_offset", lambda k: jnp.asarray(LEARNED_OFFSET))
+        centers = smpl_kps_gt[..., :2]
+        if self.train and c.stn_center_jitter > 0:
+            k = self.make_rng("jitter")
+            centers = centers + c.stn_center_jitter * (jax.random.uniform(k, centers.shape) - 0.5)
+        theta, scale = stn_affine_params(centers, ratio, off)
+        # oracle thetas keep gradients so the learned ratio/offset train
+        part_iuv = part_iuv_gt_crops(u, v, index, theta, stop_grad=False)
+        return {
+            "u": u, "v": v, "index": index, "ann": ann,
+            "stn_centers": centers, "stn_theta": theta, "stn_scale": scale,
+            "part_iuv": part_iuv,
+        }

@@ -31,7 +31,7 @@ from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
 from danet_densepose2smpl_tpu.smpl import SMPLModel, smpl_forward
 
 
-def part_iuv_gt_crops(u_gt, v_gt, index_gt, theta):
+def part_iuv_gt_crops(u_gt, v_gt, index_gt, theta, stop_grad: bool = True):
     """Build the 24-part simplified GT IUV crops with the predictor's thetas.
 
     Parity: reference `part_iuv_simp` + per-part grid_sample
@@ -58,7 +58,8 @@ def part_iuv_gt_crops(u_gt, v_gt, index_gt, theta):
     pi = jnp.concatenate([bg_i, gi], axis=-1)
     stacks = jnp.stack([pu, pv, pi], axis=-2)                 # (B, 24, S, S, 3, 7)
 
-    theta = jax.lax.stop_gradient(theta)
+    if stop_grad:
+        theta = jax.lax.stop_gradient(theta)
     grids = affine_grid(theta, s)                             # (B, 24, S, S, 2)
     flat_img = stacks.reshape(-1, s, s, 21)
     flat_grid = grids.reshape(-1, s, s, 2)

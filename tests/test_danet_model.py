@@ -169,3 +169,32 @@ def test_refine_strategy_variants(strategy, rng):
         {"params": jax.random.PRNGKey(0)}, iuv, part
     )
     assert jax.tree.structure(v["params"]) == jax.tree.structure(ve["params"])
+
+
+def test_iuv_gt_oracle_mode(rng):
+    """'iuv_gt' input mode: GT IUV maps drive the regressor; the learned STN
+    ratio/offset receive gradients (reference iuv_estimator.py:26-28)."""
+    cfg = small_cfg(input_mode="iuv_gt")
+    model = DaNet(cfg, train=True)
+    B = 2
+    part = rng.randint(0, 25, (B, 56, 56)).astype(np.float32)
+    uv_gt = np.stack(
+        [part / 24, rng.rand(B, 56, 56) * (part > 0), rng.rand(B, 56, 56) * (part > 0)], -1
+    ).astype(np.float32)
+    kps = np.concatenate([rng.uniform(-1, 1, (B, 24, 2)), np.ones((B, 24, 1))], -1).astype(np.float32)
+    img = jnp.zeros((B, 224, 224, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1), "partdrop": jax.random.PRNGKey(2)}
+    v = model.init(rngs, img, uv_image_gt=jnp.asarray(uv_gt), smpl_kps_gt=jnp.asarray(kps))
+    assert "stn_ratio" in v["params"]  # oracle mode: ratio is a parameter
+
+    def loss(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, img,
+            uv_image_gt=jnp.asarray(uv_gt), smpl_kps_gt=jnp.asarray(kps),
+            mutable=["batch_stats"],
+            rngs={"jitter": jax.random.PRNGKey(3), "partdrop": jax.random.PRNGKey(4)},
+        )
+        return jnp.sum(out["para"] ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert float(jnp.abs(g["stn_ratio"]).sum()) > 0

@@ -51,6 +51,10 @@ def main(argv=None):
         raise SystemExit("no input images (use --img or --imglist)")
     os.makedirs(args.out_dir, exist_ok=True)
 
+    from danet_densepose2smpl_tpu.kernels.rasterizer import render_shaded
+
+    faces = jnp.asarray(smpl.faces)
+
     @jax.jit
     def infer(variables, img):
         out = model.apply(variables, img)
@@ -59,7 +63,9 @@ def main(argv=None):
         para = out["para"]
         smpl_out = smpl_forward(smpl, para[:, 3:13], para[:, 13:].reshape(-1, 24, 3, 3))
         rendered = renderer(smpl_out.vertices, para[:, :3])
-        return iuv_img, out["part_iuv_clean"], rendered, para
+        shaded = render_shaded(smpl_out.vertices, faces, para[:, :3])
+        shaded_side = render_shaded(smpl_out.vertices, faces, para[:, :3], yaw_deg=90.0)
+        return iuv_img, out["part_iuv_clean"], rendered, para, shaded, shaded_side
 
     import cv2
 
@@ -71,7 +77,7 @@ def main(argv=None):
         rgb = cv2.resize(img_sq, (IMG_RES, IMG_RES)) / 255.0
         norm = ((rgb - IMG_NORM_MEAN) / IMG_NORM_STD).astype(np.float32)[None]
 
-        iuv_img, part_iuv, rendered, para = infer(variables, jnp.asarray(norm))
+        iuv_img, part_iuv, rendered, para, shaded, shaded_side = infer(variables, jnp.asarray(norm))
 
         # per-part IUV images with the global patch-id remapping
         part_imgs = []
@@ -85,7 +91,10 @@ def main(argv=None):
             part_imgs.append(np.asarray(img_k[0]))
 
         out_path = os.path.join(args.out_dir, os.path.splitext(os.path.basename(path))[0] + "_danet.png")
-        vis.demo_composite(norm[0], np.asarray(iuv_img[0]), np.stack(part_imgs), np.asarray(rendered[0]), out_path)
+        vis.demo_composite(
+            norm[0], np.asarray(iuv_img[0]), np.stack(part_imgs), np.asarray(rendered[0]), out_path,
+            shaded_front=np.asarray(shaded[0]), shaded_side=np.asarray(shaded_side[0]),
+        )
         print(f"{path} -> {out_path}  cam={np.round(np.asarray(para[0, :3]), 3)}")
 
 

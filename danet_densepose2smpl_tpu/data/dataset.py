@@ -60,6 +60,7 @@ class NpzDataset:
         ignore_3d: bool = False,
         use_augmentation: bool = True,
         augment: AugmentConfig | None = None,
+        uv_symmetry=None,
     ):
         self.name = name or os.path.basename(npz_path)
         self.img_dir = img_dir
@@ -67,6 +68,8 @@ class NpzDataset:
         self.heatmap_size = heatmap_size
         self.augment = augment or AugmentConfig()
         self.use_augmentation = use_augmentation
+        # DensePose flip symmetry tables; without them DP samples never flip
+        self.uv_symmetry = uv_symmetry
 
         data = np.load(npz_path, allow_pickle=True)
         self.imgname = data["imgname"]
@@ -153,13 +156,14 @@ class NpzDataset:
         orig_shape = np.array(img.shape[:2], np.int32)
 
         if self.has_dp[index]:
-            dp_dict = dp_annot_process(
-                self.dp_annot[index], self.heatmap_size, IMG_RES, center, sc * scale
-            )
-            # flip symmetry needs the DensePose symmetry tables; keep
-            # unflipped annotations consistent by disabling flip for DP rows
-            if flip:
+            if flip and self.uv_symmetry is None:
+                # flip symmetry needs the DensePose symmetry tables; keep
+                # annotations consistent by disabling flip for DP rows
                 flip = 0
+            dp_dict = dp_annot_process(
+                self.dp_annot[index], self.heatmap_size, IMG_RES, center, sc * scale,
+                flip=bool(flip), uv_symmetry=self.uv_symmetry,
+            )
         else:
             dp_dict = empty_dp_dict(self.heatmap_size)
         item["dp_dict"] = dp_dict

@@ -28,8 +28,13 @@ MAX_DP_POINTS = 196
 NUM_PATCHES = 24
 
 
-def dp_annot_process(ann: dict, heatmap_size: int, crop_res: int, center, scale) -> dict:
-    """See module docstring. `ann` carries bbox + dp_* fields."""
+def dp_annot_process(
+    ann: dict, heatmap_size: int, crop_res: int, center, scale,
+    flip: bool = False, uv_symmetry=None,
+) -> dict:
+    """See module docstring. `ann` carries bbox + dp_* fields. With `flip`
+    and a UV symmetry table, the annotation is mirrored first (reference
+    dp_utils.py:50-52)."""
     import cv2
 
     m = heatmap_size
@@ -48,6 +53,13 @@ def dp_annot_process(ann: dict, heatmap_size: int, crop_res: int, center, scale)
     gt_v = np.asarray(ann["dp_V"], dtype=np.float64).copy()
     gt_x = np.asarray(ann["dp_x"], dtype=np.float64).copy()
     gt_y = np.asarray(ann["dp_y"], dtype=np.float64).copy()
+
+    if flip and uv_symmetry is not None:
+        from danet_densepose2smpl_tpu.smpl.densepose_methods import get_symmetric_densepose
+
+        gt_i, gt_u, gt_v, gt_x, gt_y, label256 = get_symmetric_densepose(
+            gt_i, gt_u, gt_v, gt_x, gt_y, label256, uv_symmetry
+        )
 
     # resample the 256x256 bbox-space label mask into the M x M crop
     xs = (np.arange(x1, x2, (x2 - x1) / float(m))[:m] - x1s) * (255.0 / (x2s - x1s))

@@ -187,3 +187,43 @@ class IUVRenderer:
         return rasterize_flat(
             verts_px, self._faces, self._face_tex, self.out_size, self.orig_size, self.chunk
         )
+
+
+def render_shaded(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    cam: jnp.ndarray,
+    out_size: int = 224,
+    orig_size: float = 224.0,
+    light_dir=(0.0, 0.0, -1.0),
+    ambient: float = 0.35,
+    yaw_deg: float = 0.0,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """Lambert-shaded mesh render (the demo's opendr panel equivalent,
+    reference `utils/renderer.py:125-199`): flat per-face shading
+    ambient + (1-ambient) * max(0, n . l), optional yaw for a side view.
+    Returns (B, S, S) grayscale in [0, 1] (0 = background)."""
+    if yaw_deg:
+        rad = jnp.deg2rad(jnp.asarray(yaw_deg))
+        cy, sy = jnp.cos(rad), jnp.sin(rad)
+        R = jnp.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], dtype=verts.dtype)
+        center = verts.mean(axis=1, keepdims=True)
+        verts = (verts - center) @ R.T + center
+
+    tri = verts[:, faces, :]                                  # (B, F, 3, 3)
+    n = jnp.cross(tri[:, :, 1] - tri[:, :, 0], tri[:, :, 2] - tri[:, :, 0])
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-9)
+    l = jnp.asarray(light_dir, dtype=verts.dtype)
+    l = l / jnp.linalg.norm(l)
+    # double-sided shading (winding of the atlas mesh is mixed)
+    lam = jnp.abs(n @ l)
+    shade = ambient + (1.0 - ambient) * lam                   # (B, F)
+
+    verts_px = project_weak_perspective(verts, cam, orig_size)
+    # per-batch face textures: fold the batch into rasterize calls
+    outs = []
+    for b in range(verts.shape[0]):
+        tex = shade[b][:, None]                               # (F, 1)
+        outs.append(rasterize_flat(verts_px[b : b + 1], faces, tex, out_size, orig_size, chunk))
+    return jnp.concatenate(outs, axis=0)[..., 0]

@@ -102,6 +102,10 @@ class Trainer:
         step_count = self.resume.step
         start_epoch, start_batch = self.resume.epoch, self.resume.batch_idx
 
+        # steps dispatch asynchronously; wall time is measured per summary
+        # window (block only there) so timing never serializes the pipeline
+        window_start = time.time()
+        window_steps = 0
         for epoch in range(start_epoch, epochs):
             for b_idx, batch in self.loader.epoch(epoch, start_batch if epoch == start_epoch else 0):
                 pretrain = step_count < cfg.train.pretr_step
@@ -109,12 +113,20 @@ class Trainer:
                 batch = self._device_batch(batch)
                 self.state, metrics = step_fn(self.state, batch, rng)
                 step_count += 1
+                window_steps += 1
 
                 if step_count % cfg.train.summary_steps == 0:
+                    jax.block_until_ready(metrics["loss_total"])
+                    dt = (time.time() - window_start) / max(window_steps, 1)
+                    metrics = dict(metrics)
+                    metrics["step_time_s"] = dt
+                    metrics["imgs_per_sec"] = cfg.train.batch_size / max(dt, 1e-9)
                     self.logger.log(step_count, metrics)
                     print(f"e{epoch} b{b_idx} step {step_count} "
-                          f"loss {float(metrics['loss_total']):.3f}"
+                          f"loss {float(metrics['loss_total']):.3f} ({dt * 1e3:.0f} ms/step)"
                           + (" [pretrain]" if pretrain else ""))
+                    window_start = time.time()
+                    window_steps = 0
 
                 if step_count % cfg.train.checkpoint_steps == 0:
                     self.ckpt.save(self.state, ResumePoint(epoch, b_idx + 1, step_count))

@@ -60,6 +60,8 @@ def demo_composite(
     part_iuv_imgs: np.ndarray | None,
     rendered_iuv: np.ndarray | None,
     out_path: str,
+    shaded_front: np.ndarray | None = None,
+    shaded_side: np.ndarray | None = None,
 ):
     """Assemble and save the demo panel (reference demo.py:125-178)."""
     import matplotlib
@@ -72,6 +74,10 @@ def demo_composite(
         panels.append(("rendered IUV (pred SMPL)", iuv_to_rgb(rendered_iuv)))
     if part_iuv_imgs is not None:
         panels.append(("24 partial IUV", part_grid(part_iuv_imgs)))
+    if shaded_front is not None:
+        panels.append(("pred mesh", np.repeat(np.asarray(shaded_front)[..., None], 3, -1)))
+    if shaded_side is not None:
+        panels.append(("pred mesh (side)", np.repeat(np.asarray(shaded_side)[..., None], 3, -1)))
 
     fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 4))
     if len(panels) == 1:

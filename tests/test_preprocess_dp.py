@@ -1,0 +1,109 @@
+"""Tests for the offline DP-COCO converter, DensePose symmetry machinery,
+and the barycentric surface lookup."""
+
+import json
+
+import numpy as np
+import pytest
+
+from danet_densepose2smpl_tpu.data.preprocess import db_coco_extract, kp_coco2smpl
+from danet_densepose2smpl_tpu.data.rle import encode_rle
+from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
+from danet_densepose2smpl_tpu.smpl.densepose_atlas import synthetic_densepose_atlas
+from danet_densepose2smpl_tpu.smpl.densepose_methods import (
+    INDEX_SYMMETRY,
+    fbc_to_surface,
+    get_symmetric_densepose,
+    iuv_to_face_bc,
+    synthetic_uv_symmetry,
+)
+
+
+def test_kp_coco2smpl_rules():
+    kps = np.zeros((17, 3))
+    kps[:, 2] = 2  # all visible
+    kps[:, 0] = np.arange(17) * 10.0
+    kps[:, 1] = np.arange(17) * 5.0
+    out = kp_coco2smpl(kps)
+    # direct limb mapping: smpl l_hip(1) <- coco 11 with conf/2
+    np.testing.assert_allclose(out[1, :2], kps[11, :2])
+    assert out[1, 2] == 1.0  # vis 2 / 2
+    # pelvis = mid-hip at conf .5
+    np.testing.assert_allclose(out[0, :2], kps[[11, 12], :2].mean(0))
+    assert out[0, 2] == 0.5
+    # hands copy wrists
+    np.testing.assert_allclose(out[22, :2], out[20, :2])
+    # partial visibility: no shoulders -> no neck/head chain
+    kps2 = kps.copy()
+    kps2[[5, 6], 2] = 0
+    out2 = kp_coco2smpl(kps2)
+    assert out2[12, 2] == 0 and out2[15, 2] == 0 and out2[6, 2] == 0
+
+
+def test_db_coco_extract(tmp_path, rng):
+    mask = np.zeros((256, 256), np.uint8)
+    mask[50:200, 50:200] = 1
+    ann = {
+        "image_id": 1,
+        "num_keypoints": 10,
+        "bbox": [20.0, 30.0, 100.0, 150.0],
+        "keypoints": (rng.rand(17, 3) * [[200, 200, 2]]).astype(np.float64).reshape(-1).tolist(),
+        "dp_masks": [encode_rle(mask)] * 14,
+        "dp_I": [1.0, 2.0], "dp_U": [0.2, 0.4], "dp_V": [0.3, 0.5],
+        "dp_x": [100.0, 120.0], "dp_y": [90.0, 100.0],
+    }
+    db = {
+        "images": [{"id": 1, "file_name": "img1.jpg"}],
+        "annotations": [ann, {"image_id": 1, "num_keypoints": 0, "bbox": [0, 0, 1, 1]}],
+    }
+    p = tmp_path / "dp.json"
+    p.write_text(json.dumps(db))
+    out = str(tmp_path / "dp.npz")
+    n = db_coco_extract(str(p), out)
+    assert n == 1
+    d = np.load(out, allow_pickle=True)
+    assert d["imgname"][0] == "img1.jpg"
+    np.testing.assert_allclose(d["center"][0], [70, 105])
+    assert d["smpl_2dkps"].shape == (1, 24, 3)
+    assert d["dp_annot"][0]["dp_I"] == [1.0, 2.0]
+
+
+def test_symmetric_densepose(rng):
+    sym = synthetic_uv_symmetry()
+    I = np.array([1.0, 2.0, 23.0])
+    U = np.array([0.25, 0.5, 0.75])
+    V = np.array([0.1, 0.2, 0.3])
+    x = np.array([10.0, 100.0, 200.0])
+    y = np.array([5.0, 50.0, 150.0])
+    mask = np.zeros((256, 256), np.uint8)
+    mask[:, :128] = 3  # a left-side part
+    I2, U2, V2, x2, y2, m2 = get_symmetric_densepose(I, U, V, x, y, mask, sym)
+    np.testing.assert_array_equal(I2, [INDEX_SYMMETRY[0], INDEX_SYMMETRY[1], INDEX_SYMMETRY[22]])
+    np.testing.assert_allclose(U2, 1 - U, atol=2 / 255)  # synthetic mirror
+    np.testing.assert_allclose(V2, V, atol=2 / 255)
+    np.testing.assert_array_equal(x2, 256 - x)
+    np.testing.assert_array_equal(y2, y)
+    # mask: left part 3 -> right half, label swapped to 2
+    assert (m2[:, 128:] == 2).all() and (m2[:, :128] == 0).all()
+    # involution on indices
+    np.testing.assert_array_equal(INDEX_SYMMETRY[INDEX_SYMMETRY - 1], np.arange(1, 25))
+
+
+def test_iuv_surface_roundtrip(rng):
+    model = synthetic_smpl_model(num_verts=300, seed=3)
+    atlas = synthetic_densepose_atlas(model, seed=3)
+    # pick a real face and its centroid UV; lookup must find a face of the
+    # same patch whose surface point matches the barycentric combination
+    f = 17
+    patch = int(atlas.face_indices[f])
+    u = float(atlas.u_norm[atlas.faces[f]].mean())
+    v = float(atlas.v_norm[atlas.faces[f]].mean())
+    face, b0, b1, b2 = iuv_to_face_bc(atlas, patch, u, v)
+    assert atlas.face_indices[face] == patch
+    np.testing.assert_allclose(b0 + b1 + b2, 1.0, atol=1e-6)
+    verts = model.v_template
+    p = fbc_to_surface(atlas, face, (b0, b1, b2), verts)
+    assert p.shape == (3,)
+    # the surface point lies within the face's bounding box
+    corners = verts[atlas.vert_mapping[atlas.faces[face]]]
+    assert (p >= corners.min(0) - 1e-6).all() and (p <= corners.max(0) + 1e-6).all()

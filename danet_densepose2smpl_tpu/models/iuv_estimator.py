@@ -22,7 +22,7 @@ from danet_densepose2smpl_tpu.core.config import DaNetConfig
 from danet_densepose2smpl_tpu.nn.hrnet import PoseHighResolutionNet
 from danet_densepose2smpl_tpu.nn.iuv_head import IUVPredictHead, PartialIUVHead
 from danet_densepose2smpl_tpu.nn.resnet import PoseResNet
-from danet_densepose2smpl_tpu.ops.imwarp import affine_crop, crop_theta
+from danet_densepose2smpl_tpu.ops.imwarp import crop_theta, separable_crop
 from danet_densepose2smpl_tpu.ops.iuvmap import iuvmap_clean
 from danet_densepose2smpl_tpu.ops.keypoints import soft_argmax_2d
 from danet_densepose2smpl_tpu.ops.structure import (
@@ -197,7 +197,9 @@ class IUVEstimator(nn.Module):
         out["stn_theta"] = theta
         out["stn_scale"] = scale
 
-        crops = affine_crop(feats, theta, s)  # (B, 24, S, S, C)
+        # diagonal thetas -> separable matmul crops (MXU fwd + bwd; the
+        # gather form's scatter-add backward dominated the TPU train step)
+        crops = separable_crop(feats, theta[..., :, 2], theta[..., 0, 0], s)
         b = crops.shape[0]
         part_feats = crops.transpose(0, 2, 3, 1, 4).reshape(b, s, s, -1)
         out["part_iuv"] = PartialIUVHead(name="partial_head")(part_feats)

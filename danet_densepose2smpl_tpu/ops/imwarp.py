@@ -93,3 +93,55 @@ def crop_theta(center: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     row0 = jnp.stack([scale, zeros, center[..., 0]], axis=-1)
     row1 = jnp.stack([zeros, scale, center[..., 1]], axis=-1)
     return jnp.stack([row0, row1], axis=-2)
+
+
+def _axis_weights(centers, scales, src_size: int, out_size: int, dtype):
+    """(..., out, src) bilinear interpolation matrix for a 1-D scale+translate
+    map: out-pixel o samples normalized coord scale*((2o+1)/out - 1) + center,
+    align_corners=False, zero padding outside."""
+    o = (2.0 * jnp.arange(out_size, dtype=dtype) + 1.0) / out_size - 1.0
+    xin = scales[..., None] * o + centers[..., None]            # (..., out)
+    u = (xin + 1.0) * (src_size / 2.0) - 0.5                    # pixel coords
+    src = jnp.arange(src_size, dtype=dtype)
+    w = 1.0 - jnp.abs(u[..., :, None] - src)                    # (..., out, src)
+    w = jnp.clip(w, 0.0, 1.0)
+    # zero-pad semantics: weights for out-of-range taps fall out naturally
+    # because |u - src| >= 1 for all src when u is far outside; the partial
+    # edge tap (u in [-1, 0] or [S-1, S]) keeps its single-sided weight,
+    # matching grid_sample's zero padding.
+    return w
+
+
+def separable_crop(images: jnp.ndarray, centers: jnp.ndarray, scales: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Axis-aligned (diagonal-theta) multi-crop as two matmuls per part.
+
+    Exactly equivalent to `affine_crop(images, crop_theta(centers, scales))`
+    but MXU-shaped: forward AND backward are batched matmuls instead of
+    gathers/scatters (TPU scatter-add in the gather backward dominated the
+    train step before this).
+
+    images: (B, H, W, C); centers: (B, K, 2) normalized; scales: (B, K).
+    Returns (B, K, S, S, C).
+    """
+    h, w = images.shape[1:3]
+    dt = images.dtype
+    wx = _axis_weights(centers[..., 0], scales, w, out_size, dt)  # (B, K, S, W)
+    wy = _axis_weights(centers[..., 1], scales, h, out_size, dt)  # (B, K, S, H)
+    tmp = jnp.einsum("bkoh,bhwc->bkowc", wy, images)
+    return jnp.einsum("bkowc,bkpw->bkopc", tmp, wx)
+
+
+def separable_crop_per_part(
+    images: jnp.ndarray, centers: jnp.ndarray, scales: jnp.ndarray, out_size: int,
+    precision=None,
+) -> jnp.ndarray:
+    """`separable_crop` variant where each part crops its own image.
+
+    images: (B, K, H, W, C); centers (B, K, 2); scales (B, K).
+    Returns (B, K, S, S, C)."""
+    h, w = images.shape[2:4]
+    dt = images.dtype
+    wx = _axis_weights(centers[..., 0], scales, w, out_size, dt)
+    wy = _axis_weights(centers[..., 1], scales, h, out_size, dt)
+    tmp = jnp.einsum("bkoh,bkhwc->bkowc", wy, images, precision=precision)
+    return jnp.einsum("bkowc,bkpw->bkopc", tmp, wx, precision=precision)

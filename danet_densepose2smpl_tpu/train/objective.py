@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from danet_densepose2smpl_tpu.core.config import DaNetConfig
 from danet_densepose2smpl_tpu.models import losses as L
-from danet_densepose2smpl_tpu.ops.imwarp import affine_grid, grid_sample_bilinear
+from danet_densepose2smpl_tpu.ops.imwarp import affine_grid, grid_sample_bilinear, separable_crop_per_part
 from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
 from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
 from danet_densepose2smpl_tpu.smpl import SMPLModel, smpl_forward
@@ -60,10 +60,12 @@ def part_iuv_gt_crops(u_gt, v_gt, index_gt, theta, stop_grad: bool = True):
 
     if stop_grad:
         theta = jax.lax.stop_gradient(theta)
-    grids = affine_grid(theta, s)                             # (B, 24, S, S, 2)
-    flat_img = stacks.reshape(-1, s, s, 21)
-    flat_grid = grids.reshape(-1, s, s, 2)
-    crops = jax.vmap(grid_sample_bilinear)(flat_img, flat_grid)
+    # diagonal thetas: separable matmul crops; HIGHEST so bf16 matmuls don't
+    # quantize the GT UV targets
+    flat = stacks.reshape(stacks.shape[:4] + (21,))
+    crops = separable_crop_per_part(
+        flat, theta[..., :, 2], theta[..., 0, 0], s, precision=jax.lax.Precision.HIGHEST
+    )
     return crops.reshape(stacks.shape)
 
 

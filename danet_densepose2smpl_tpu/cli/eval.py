@@ -65,7 +65,6 @@ def main(argv=None):
 
     if args.regressor == "hmr":
         from danet_densepose2smpl_tpu.models.smpl_regressor import default_mean_params
-        from danet_densepose2smpl_tpu.ops.rotations import batch_rodrigues  # noqa: F401
 
         mp = default_mean_params()
 

@@ -16,7 +16,6 @@ Fixture smoke run:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 
 from danet_densepose2smpl_tpu.cli.common import add_common_args, dump_run_config, load_assets
@@ -112,7 +111,7 @@ def main(argv=None):
 
     # --- image-size coherence for fixture runs ---
     if args.img_size is not None and args.img_size != 224:
-        train_ds = _Resize(train_ds, args.img_size, datasets)
+        train_ds = _Resize(train_ds, args.img_size)
 
     renderer = IUVRenderer(atlas, orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size)
     mesh = make_mesh() if args.data_parallel else None
@@ -128,7 +127,7 @@ def main(argv=None):
 class _Resize:
     """Shrink dataset images to the configured size (fixture mode)."""
 
-    def __init__(self, ds, size, datasets):
+    def __init__(self, ds, size):
         self.ds = ds
         self.size = size
 

@@ -22,9 +22,6 @@ depth is screen-space barycentric-interpolated z with a z > eps clip.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,8 +5,8 @@ Parity: reference `models/danet/iuv_estimator.py` — HRNet/PoseResNet backbone
 centers, kinematic-scale STN parameters with learned per-joint ratio/offset,
 24 affine feature crops, grouped partial-IUV head.
 
-TPU-native differences: the 24-iteration STN loop is one vmapped
-`affine_crop`; part-visibility scoring is a single masked channel-max +
+TPU-native differences: the 24-iteration STN loop becomes one separable
+matmul crop (MXU forward and backward); part-visibility scoring is a single masked channel-max +
 batched point sample; train-time jitters draw from explicit flax RNG streams
 ('jitter') instead of global torch RNG. All shapes static.
 """

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from danet_densepose2smpl_tpu.core.config import DaNetConfig
 from danet_densepose2smpl_tpu.models import losses as L
-from danet_densepose2smpl_tpu.ops.imwarp import affine_grid, grid_sample_bilinear, separable_crop_per_part
+from danet_densepose2smpl_tpu.ops.imwarp import separable_crop_per_part
 from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
 from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
 from danet_densepose2smpl_tpu.smpl import SMPLModel, smpl_forward

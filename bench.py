@@ -11,6 +11,11 @@ reference cannot run in this container (its CUDA/smplx deps are absent), so
 the recorded stand-in baseline is this same pipeline on one CPU process
 (JAX CPU, measured in this container: 0.171 imgs/sec at B=16); the 10x bar
 is then vs_baseline >= 10.
+
+Timing note: on the tunneled axon TPU platform `block_until_ready` does not
+actually wait, so the loop pipelines N batches and then forces a scalar
+device-to-host fetch (which cannot complete before the compute has) —
+sustained-throughput timing that is honest on every backend.
 """
 
 from __future__ import annotations
@@ -49,16 +54,18 @@ def main():
     def forward(variables, smpl_arrays, img):
         out = model.apply(variables, img)
         smpl_out = smpl_forward(smpl_arrays, out["pred_shape"], out["pred_rotmat"])
-        return smpl_out.vertices, smpl_out.joints, out["pred_cam"]
+        # scalar checksum: defeats dead-code elimination and makes the final
+        # host fetch depend on the whole computation
+        return jnp.sum(smpl_out.vertices) + jnp.sum(smpl_out.joints) + jnp.sum(out["pred_cam"])
 
-    # warmup / compile
-    jax.block_until_ready(forward(variables, smpl_arrays, image))
+    # warmup / compile (forced host fetch)
+    float(forward(variables, smpl_arrays, image))
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = forward(variables, smpl_arrays, image)
-    jax.block_until_ready(out)
+    float(out)  # D2H fetch: completes only after all queued batches ran
     dt = time.perf_counter() - t0
 
     imgs_per_sec = B * n_iters / dt

@@ -178,7 +178,150 @@ def rasterize_flat_pallas(
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, c), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pmat, e, zc, meta, tex)
 
     return out[:, : s * s, :].reshape(b, s, s, c)
+
+
+# ---------------------------------------------------------------------------
+# Banded variant: y-sorted faces + per-band chunk skipping
+# ---------------------------------------------------------------------------
+
+_BAND_ROWS = 8
+
+
+def _band_setup(verts_px, faces, face_tex, out_size, orig_size):
+    """Face data sorted by bbox y-center + conservative (band, chunk) touch
+    flags. Sorting concentrates each 128-face chunk into a narrow y band, so
+    most of the (band, chunk) grid is skipped."""
+    s = out_size
+    scale = s / orig_size
+    tri_y = verts_px[:, faces, 1] * scale                      # (B, F, 3)
+    y_center = tri_y.mean(-1)
+    order = jnp.argsort(y_center, axis=1)                      # (B, F)
+
+    e, zc, meta, tex = _face_setup(verts_px, faces, face_tex, s, orig_size)
+    fp = e.shape[-1]
+    f = faces.shape[0]
+    # apply the per-batch sort to the face axis (padding stays at the end)
+    pad_ids = jnp.broadcast_to(jnp.arange(f, fp), (e.shape[0], fp - f))
+    order_p = jnp.concatenate([order, pad_ids], axis=1)        # (B, Fp)
+    e = jnp.take_along_axis(e, order_p[:, None, :], axis=2)
+    zc = jnp.take_along_axis(zc, order_p[:, None, :], axis=2)
+    meta = jnp.take_along_axis(meta, order_p[:, None, :], axis=2)
+    # textures become per-batch after sorting
+    tex_b = tex[order_p]                                       # (B, Fp, C)
+
+    # chunk y-extent -> band touch flags
+    y_sorted = jnp.take_along_axis(tri_y, order[..., None], axis=1)
+    y_min = jnp.floor(y_sorted.min(-1)) - 0.5
+    y_max = jnp.ceil(y_sorted.max(-1)) + 0.5
+    y_min = jnp.concatenate([y_min, jnp.full_like(pad_ids, 1e9, dtype=y_min.dtype)], axis=1)
+    y_max = jnp.concatenate([y_max, jnp.full_like(pad_ids, -1e9, dtype=y_max.dtype)], axis=1)
+    n_chunks = fp // _CHUNK
+    cy_min = y_min.reshape(-1, n_chunks, _CHUNK).min(-1)       # (B, NC)
+    cy_max = y_max.reshape(-1, n_chunks, _CHUNK).max(-1)
+    n_bands = (s + _BAND_ROWS - 1) // _BAND_ROWS
+    band_lo = jnp.arange(n_bands)[None, :, None] * _BAND_ROWS
+    band_hi = band_lo + _BAND_ROWS
+    touch = (cy_max[:, None, :] >= band_lo) & (cy_min[:, None, :] <= band_hi)
+    return e, zc, meta, tex_b, touch.astype(jnp.int32)         # touch (B, NB, NC)
+
+
+def _banded_kernel(touch_ref, e_ref, zc_ref, meta_ref, tex_ref, out_ref, zbuf, texacc, *, out_size):
+    """Grid (B, band, chunk). Blocks: touch (1, NB, NC) SMEM; e (1, 9, Fp);
+    zc (1, 3, Fp); meta (1, 2, Fp); tex (1, Fp, C); out (1, 1, P_band, C).
+    Scratch zbuf (P_band, 1), texacc (P_band, C) persist across chunks."""
+    band = pl.program_id(1)
+    chunk = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+    c = tex_ref.shape[-1]
+    p = zbuf.shape[0]
+
+    @pl.when(chunk == 0)
+    def _():
+        zbuf[:] = jnp.full((p, 1), _BIG, jnp.float32)
+        texacc[:] = jnp.zeros((p, c), jnp.float32)
+
+    @pl.when(touch_ref[0, band, chunk] > 0)
+    def _():
+        s = out_size
+        flat = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
+        col = (flat % s).astype(jnp.float32) + 0.5
+        row = (flat // s + band * _BAND_ROWS).astype(jnp.float32) + 0.5
+        pmat = jnp.stack([col, row, jnp.ones_like(col)], axis=1)  # (P, 3)
+
+        sl = pl.ds(chunk * _CHUNK, _CHUNK)
+        hi = jax.lax.Precision.HIGHEST
+        w0 = jnp.dot(pmat, e_ref[0, 0:3, sl], precision=hi, preferred_element_type=jnp.float32)
+        w1 = jnp.dot(pmat, e_ref[0, 3:6, sl], precision=hi, preferred_element_type=jnp.float32)
+        w2 = jnp.dot(pmat, e_ref[0, 6:9, sl], precision=hi, preferred_element_type=jnp.float32)
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+
+        za = jnp.dot(pmat, zc_ref[0, :, sl], precision=hi, preferred_element_type=jnp.float32)
+        inv_a = meta_ref[0, 0:1, sl]
+        val = meta_ref[0, 1:2, sl]
+        zpix = za * inv_a
+
+        ok = inside & (val > 0) & (zpix > 1e-6)
+        zmask = jnp.where(ok, zpix, _BIG)
+
+        zmin = jnp.min(zmask, axis=1, keepdims=True)
+        kidx = jnp.argmin(zmask, axis=1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (p, _CHUNK), 1) == kidx[:, None]
+        ).astype(jnp.float32)
+        texc = jnp.dot(onehot, tex_ref[0, sl], precision=hi, preferred_element_type=jnp.float32)
+
+        better = zmin < zbuf[:]
+        zbuf[:] = jnp.where(better, zmin, zbuf[:])
+        texacc[:] = jnp.where(better, texc, texacc[:])
+
+    @pl.when(chunk == n_chunks - 1)
+    def _():
+        out_ref[0, 0] = texacc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "orig_size", "interpret"))
+def rasterize_flat_pallas_banded(
+    verts_px: jnp.ndarray,
+    faces: jnp.ndarray,
+    face_tex: jnp.ndarray,
+    out_size: int,
+    orig_size: float = 224.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded Pallas backend (same contract as rasterize_flat)."""
+    b = verts_px.shape[0]
+    s = out_size
+    c = face_tex.shape[-1]
+    e, zc, meta, tex_b, touch = _band_setup(verts_px, faces, face_tex, s, orig_size)
+    fp = e.shape[-1]
+    n_chunks = fp // _CHUNK
+    n_bands = (s + _BAND_ROWS - 1) // _BAND_ROWS
+    p_band = _round_up(_BAND_ROWS * s, 8)
+
+    out = pl.pallas_call(
+        functools.partial(_banded_kernel, out_size=s),
+        grid=(b, n_bands, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, n_bands, n_chunks), lambda i, j, k: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 9, fp), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, fp), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, fp), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fp, c), lambda i, j, k: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, p_band, c), lambda i, j, k: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_bands, p_band, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((p_band, 1), jnp.float32),
+            pltpu.VMEM((p_band, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(touch, e, zc, meta, tex_b)
+
+    out = out[:, :, : _BAND_ROWS * s, :].reshape(b, n_bands * _BAND_ROWS, s, c)
+    return out[:, :s]

@@ -3,8 +3,9 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: imgs/sec/chip through the full flagship pipeline (DaNet HRNet-W48 +
-decomposed GCN regressor + SMPL LBS to 6890 vertices), batch 16, bf16 conv
-activations off (fp32) for parity-first round 1.
+decomposed GCN regressor + SMPL LBS to 6890 vertices), batch 64, bf16
+params/activations (the serving configuration; parameter outputs deviate
+<=0.0015 from fp32, the SMPL head runs fp32). Training stays fp32.
 
 Baseline (BASELINE.md north star): >=10x PyTorch-CPU imgs/sec. The PyTorch
 reference cannot run in this container (its CUDA/smplx deps are absent), so
@@ -35,7 +36,7 @@ def main():
     from danet_densepose2smpl_tpu.models.danet import DaNet
     from danet_densepose2smpl_tpu.smpl import smpl_forward, synthetic_smpl_model
 
-    B = 16
+    B = 64
     cfg = DaNetConfig()
     model = DaNet(cfg, train=False)
     smpl = synthetic_smpl_model()  # full 6890-vertex body
@@ -46,7 +47,11 @@ def main():
 
     import jax.tree_util as jtu
 
+    from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+
     smpl_arrays = jtu.tree_map(jnp.asarray, smpl)
+    variables = cast_float_tree(variables, jnp.bfloat16)
+    image = image.astype(jnp.bfloat16)
 
     # params/model arrays as arguments (closure constants overflow the
     # remote-compile payload limit and trigger slow constant folding)

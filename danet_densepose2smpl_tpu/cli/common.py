@@ -33,6 +33,8 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="vertex count for synthetic SMPL (tests use fewer)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="serving mode: cast params/activations to bfloat16")
     return p
 
 

@@ -76,8 +76,18 @@ def main(argv=None):
             b = img.shape[0]
             return jnp.concatenate([cam, betas, rotmat.reshape(b, 216)], axis=1)
     else:
-        def infer_fn(img):
-            return model.apply(variables, img)["para"]
+        if args.bf16:
+            import jax.numpy as jnp
+
+            from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+
+            variables_c = cast_float_tree(variables, jnp.bfloat16)
+
+            def infer_fn(img):
+                return model.apply(variables_c, img.astype(jnp.bfloat16))["para"].astype(jnp.float32)
+        else:
+            def infer_fn(img):
+                return model.apply(variables, img)["para"]
 
     if args.dataset == "lsp":
         run_lsp_eval(args, cfg, model, infer_fn, smpl, ds, loader)

@@ -33,3 +33,20 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     """
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def cast_float_tree(tree, dtype):
+    """Cast float leaves of a pytree (params/batch_stats) to `dtype`.
+
+    flax.linen infers compute dtype from inputs/params, so casting the
+    variables + inputs runs the whole network in bf16 (serving mode; fp32
+    stays the training/parity default). Non-float leaves pass through.
+    """
+    import jax.numpy as jnp
+
+    def cast(x):
+        return x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+
+    import jax
+
+    return jax.tree.map(cast, tree)

@@ -93,3 +93,22 @@ def test_masked_out_batch_is_finite(setup):
     assert np.isfinite(float(metrics["loss_total"]))
     gmax = max(jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).max()), state2.params)))
     assert np.isfinite(gmax)
+
+
+def test_cast_float_tree_bf16(setup):
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+
+    cfg, model, smpl, batch, state = setup
+    vb = cast_float_tree({"params": state.params}, jnp.bfloat16)
+    leaves = jax.tree.leaves(vb["params"])
+    assert all(l.dtype in (jnp.bfloat16, jnp.int32) for l in leaves)
+    # bf16 forward runs and stays close to fp32
+    img = jnp.asarray(batch["img"][:2])
+    emodel = type(model)(cfg.danet, train=False)
+    ev = {"params": state.params, "batch_stats": state.batch_stats}
+    p32 = emodel.apply(ev, img)["para"]
+    evb = cast_float_tree(ev, jnp.bfloat16)
+    pb = emodel.apply(evb, img.astype(jnp.bfloat16))["para"].astype(jnp.float32)
+    assert float(jnp.abs(p32 - pb).max()) < 0.05

@@ -29,11 +29,12 @@ class NormAct(nn.Module):
             use_running_average=self.use_running_average,
             momentum=BN_MOMENTUM,
             axis_name=self.axis_name,
+            name="norm",
         )(x)
         return nn.relu(x) if self.relu else x
 
 
-def conv(features: int, kernel: int, stride: int = 1, groups: int = 1, bias: bool = False):
+def conv(features: int, kernel: int, stride: int = 1, groups: int = 1, bias: bool = False, name: str | None = None):
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
@@ -41,6 +42,7 @@ def conv(features: int, kernel: int, stride: int = 1, groups: int = 1, bias: boo
         padding=[(kernel // 2, kernel // 2)] * 2,
         use_bias=bias,
         feature_group_count=groups,
+        name=name,
     )
 
 
@@ -56,14 +58,14 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         g = self.groups
-        out = conv(self.planes * g, 3, self.stride, groups=g)(x)
-        out = NormAct(not self.train, axis_name=self.axis_name)(out)
-        out = conv(self.planes * g, 3, groups=g)(out)
-        out = NormAct(not self.train, relu=False, axis_name=self.axis_name)(out)
+        out = conv(self.planes * g, 3, self.stride, groups=g, name="conv1")(x)
+        out = NormAct(not self.train, axis_name=self.axis_name, name="bn1")(out)
+        out = conv(self.planes * g, 3, groups=g, name="conv2")(out)
+        out = NormAct(not self.train, relu=False, axis_name=self.axis_name, name="bn2")(out)
 
         if self.stride != 1 or x.shape[-1] != self.planes * g:
-            x = conv(self.planes * g, 1, self.stride, groups=g)(x)
-            x = NormAct(not self.train, relu=False, axis_name=self.axis_name)(x)
+            x = conv(self.planes * g, 1, self.stride, groups=g, name="downsample_conv")(x)
+            x = NormAct(not self.train, relu=False, axis_name=self.axis_name, name="downsample_bn")(x)
         return nn.relu(out + x)
 
 
@@ -79,16 +81,16 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         g = self.groups
-        out = conv(self.planes * g, 1, groups=g)(x)
-        out = NormAct(not self.train, axis_name=self.axis_name)(out)
-        out = conv(self.planes * g, 3, self.stride, groups=g)(out)
-        out = NormAct(not self.train, axis_name=self.axis_name)(out)
-        out = conv(self.planes * 4 * g, 1, groups=g)(out)
-        out = NormAct(not self.train, relu=False, axis_name=self.axis_name)(out)
+        out = conv(self.planes * g, 1, groups=g, name="conv1")(x)
+        out = NormAct(not self.train, axis_name=self.axis_name, name="bn1")(out)
+        out = conv(self.planes * g, 3, self.stride, groups=g, name="conv2")(out)
+        out = NormAct(not self.train, axis_name=self.axis_name, name="bn2")(out)
+        out = conv(self.planes * 4 * g, 1, groups=g, name="conv3")(out)
+        out = NormAct(not self.train, relu=False, axis_name=self.axis_name, name="bn3")(out)
 
         if self.stride != 1 or x.shape[-1] != self.planes * 4 * g:
-            x = conv(self.planes * 4 * g, 1, self.stride, groups=g)(x)
-            x = NormAct(not self.train, relu=False, axis_name=self.axis_name)(x)
+            x = conv(self.planes * 4 * g, 1, self.stride, groups=g, name="downsample_conv")(x)
+            x = NormAct(not self.train, relu=False, axis_name=self.axis_name, name="downsample_bn")(x)
         return nn.relu(out + x)
 
 
@@ -112,6 +114,7 @@ class ResLayer(nn.Module):
                 groups=self.groups,
                 train=self.train,
                 axis_name=self.axis_name,
+                name=str(i),
             )(x)
         return x
 

@@ -50,22 +50,22 @@ class SmplResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         block, layers = RESNET_SPEC[self.resnet_nums]
-        x = conv(64, 7, 2)(x)
-        x = NormAct(not self.train, axis_name=self.axis_name)(x)
+        x = conv(64, 7, 2, name="conv1")(x)
+        x = NormAct(not self.train, axis_name=self.axis_name, name="bn1")(x)
         x = max_pool_3x3_s2(x)
 
         common = dict(train=self.train, axis_name=self.axis_name)
-        x = ResLayer(block, 64, layers[0], **common)(x)
-        x = ResLayer(block, 128, layers[1], stride=2, **common)(x)
+        x = ResLayer(block, 64, layers[0], name="layer1", **common)(x)
+        x = ResLayer(block, 128, layers[1], stride=2, name="layer2", **common)(x)
         if self.truncate < 2:
-            x = ResLayer(block, 256, layers[2], stride=2, **common)(x)
+            x = ResLayer(block, 256, layers[2], stride=2, name="layer3", **common)(x)
         if self.truncate < 1:
-            x = ResLayer(block, 512, layers[3], stride=self.last_stride, **common)(x)
+            x = ResLayer(block, 512, layers[3], stride=self.last_stride, name="layer4", **common)(x)
 
         cls = None
         if self.num_classes > 0:
             pooled = jnp.mean(x, axis=(1, 2))
-            cls = nn.Dense(self.num_classes, kernel_init=_xavier_gain(0.01))(pooled)
+            cls = nn.Dense(self.num_classes, kernel_init=_xavier_gain(0.01), name="final_layer")(pooled)
         return cls, x
 
 
@@ -93,6 +93,7 @@ class LimbResLayers(nn.Module):
             groups=self.groups,
             train=self.train,
             axis_name=self.axis_name,
+            name="layer4",
         )(x)
         pooled = jnp.mean(x, axis=(1, 2))  # (B, 24*outplanes*expansion)
         return pooled.reshape(x.shape[0], self.groups, -1)
@@ -132,16 +133,16 @@ class PoseResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         block, layers = RESNET_SPEC[self.resnet_nums]
-        x = conv(64, 7, 2)(x)
-        x = NormAct(not self.train, axis_name=self.axis_name)(x)
+        x = conv(64, 7, 2, name="conv1")(x)
+        x = NormAct(not self.train, axis_name=self.axis_name, name="bn1")(x)
         x = max_pool_3x3_s2(x)
 
         common = dict(train=self.train, axis_name=self.axis_name)
-        x = ResLayer(block, 64, layers[0], **common)(x)
-        x = ResLayer(block, 128, layers[1], stride=2, **common)(x)
-        x = ResLayer(block, 256, layers[2], stride=2, **common)(x)
-        x = ResLayer(block, 512, layers[3], stride=2, **common)(x)
+        x = ResLayer(block, 64, layers[0], name="layer1", **common)(x)
+        x = ResLayer(block, 128, layers[1], stride=2, name="layer2", **common)(x)
+        x = ResLayer(block, 256, layers[2], stride=2, name="layer3", **common)(x)
+        x = ResLayer(block, 512, layers[3], stride=2, name="layer4", **common)(x)
 
-        for f in self.deconv_filters:
-            x = DeconvLayer(f, train=self.train, axis_name=self.axis_name)(x)
+        for di, f in enumerate(self.deconv_filters):
+            x = DeconvLayer(f, train=self.train, axis_name=self.axis_name, name=f"deconv{di}")(x)
         return x

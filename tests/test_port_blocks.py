@@ -1,0 +1,172 @@
+"""Architecture + conversion validation: torch residual blocks built with
+the reference's exact topology (res_module.py) must reproduce through the
+flax blocks after rule-based weight conversion."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as tnn
+
+from danet_densepose2smpl_tpu.nn.layers import BasicBlock, Bottleneck, ResLayer
+from danet_densepose2smpl_tpu.port import apply_rules
+from danet_densepose2smpl_tpu.port.blocks import basic_block_rules, bottleneck_rules, res_layer_rules
+
+
+def torch_basic_block(inplanes, planes, stride=1):
+    """Reference BasicBlock topology (res_module.py:27-56)."""
+
+    class TB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            if stride != 1 or inplanes != planes:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inplanes, planes, 1, stride, bias=False), tnn.BatchNorm2d(planes)
+                )
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            r = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + r)
+
+    return TB()
+
+
+def torch_bottleneck(inplanes, planes, stride=1):
+    class TB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            if stride != 1 or inplanes != planes * 4:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes * 4),
+                )
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            r = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = torch.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return torch.relu(y + r)
+
+    return TB()
+
+
+def randomize_bn_stats(module, rng):
+    for m in module.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(rng.randn(m.num_features).astype(np.float32) * 0.1))
+                m.running_var.copy_(torch.from_numpy(rng.rand(m.num_features).astype(np.float32) + 0.5))
+                m.weight.copy_(torch.from_numpy(rng.rand(m.num_features).astype(np.float32) + 0.5))
+                m.bias.copy_(torch.from_numpy(rng.randn(m.num_features).astype(np.float32) * 0.1))
+
+
+def run_both(tmod, fmod, rules, x, rng):
+    randomize_bn_stats(tmod, rng)
+    tmod.eval()
+    exp = tmod(torch.from_numpy(x)).detach().numpy()
+    exp = np.moveaxis(exp, 1, -1)
+
+    xf = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = fmod.init({"params": jax.random.PRNGKey(0)}, xf)
+    sd = {k: v.numpy() for k, v in tmod.state_dict().items()}
+    new_vars, report = apply_rules(sd, variables, rules, strict=True)
+    assert not report["unconsumed_torch_keys"], report["unconsumed_torch_keys"]
+    got = np.asarray(fmod.apply(new_vars, xf))
+    np.testing.assert_allclose(got, exp, atol=2e-4)
+
+
+def test_basic_block_with_downsample(rng):
+    x = rng.rand(2, 16, 10, 10).astype(np.float32)
+    tmod = torch_basic_block(16, 32, stride=2)
+    fmod = BasicBlock(planes=32, stride=2, train=False)
+    run_both(tmod, fmod, basic_block_rules("", (), True), x, rng)
+
+
+def test_basic_block_identity(rng):
+    x = rng.rand(2, 32, 8, 8).astype(np.float32)
+    tmod = torch_basic_block(32, 32)
+    fmod = BasicBlock(planes=32, train=False)
+    run_both(tmod, fmod, basic_block_rules("", (), False), x, rng)
+
+
+def test_bottleneck_with_downsample(rng):
+    x = rng.rand(2, 16, 10, 10).astype(np.float32)
+    tmod = torch_bottleneck(16, 8, stride=2)
+    fmod = Bottleneck(planes=8, stride=2, train=False)
+    run_both(tmod, fmod, bottleneck_rules("", (), True), x, rng)
+
+
+def test_res_layer_sequence(rng):
+    """A torch layer of 3 BasicBlocks == flax ResLayer with generated rules."""
+    blocks = [torch_basic_block(16, 32, 2), torch_basic_block(32, 32), torch_basic_block(32, 32)]
+    tmod = tnn.Sequential(*blocks)
+    fmod = ResLayer(BasicBlock, planes=32, num_blocks=3, stride=2, train=False)
+    x = rng.rand(1, 16, 12, 12).astype(np.float32)
+    rules = res_layer_rules("", (), "basic", 3, True)
+    run_both(tmod, fmod, rules, x, rng)
+
+
+def test_full_smpl_resnet18_conversion(rng):
+    """End-to-end: a torch SmplResNet-18 twin (reference res_module topology)
+    converts name-for-name and reproduces through the flax SmplResNet."""
+    from danet_densepose2smpl_tpu.nn.resnet import SmplResNet
+    from danet_densepose2smpl_tpu.port.blocks import smpl_resnet_rules
+
+    class TorchSmplResNet(tnn.Module):
+        def __init__(self, num_classes=13):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(64, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+
+            def layer(inp, planes, blocks, stride):
+                mods = [torch_basic_block(inp, planes, stride)]
+                for _ in range(blocks - 1):
+                    mods.append(torch_basic_block(planes, planes))
+                return tnn.Sequential(*mods)
+
+            self.layer1 = layer(64, 64, 2, 1)
+            self.layer2 = layer(64, 128, 2, 2)
+            self.layer3 = layer(128, 256, 2, 2)
+            self.layer4 = layer(256, 512, 2, 2)
+            self.final_layer = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = torch.relu(self.bn1(self.conv1(x)))
+            x = self.maxpool(x)
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = x.mean(dim=(2, 3))
+            return self.final_layer(x)
+
+    tmod = TorchSmplResNet()
+    randomize_bn_stats(tmod, rng)
+    tmod.eval()
+    x = rng.rand(2, 64, 56, 56).astype(np.float32)
+    exp = tmod(torch.from_numpy(x)).detach().numpy()
+
+    fmod = SmplResNet(resnet_nums=18, num_classes=13, train=False)
+    xf = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = fmod.init({"params": jax.random.PRNGKey(0)}, xf)
+    sd = {k: v.numpy() for k, v in tmod.state_dict().items()}
+    rules = smpl_resnet_rules("", (), 18, num_classes=13)
+    new_vars, report = apply_rules(sd, variables, rules, strict=True)
+    assert not report["unconsumed_torch_keys"], report["unconsumed_torch_keys"]
+    got, _ = fmod.apply(new_vars, xf)
+    np.testing.assert_allclose(np.asarray(got), exp, atol=3e-4)

@@ -6,6 +6,10 @@ layer1 (4 Bottleneck@64) -> 3 multi-resolution stages of BasicBlocks with
 full cross-resolution fusion; stage widths (48, 96, 192, 384); output is the
 highest-resolution branch (48 ch at stride 4 = 56x56 for a 224 input).
 
+Module names mirror the reference state_dict layout (conv1/bn1/conv2/bn2/
+layer1, transition{s}_{i}, stage{s}_{m} with branch{b} and fuse{i}_{j}
+children) so checkpoint porting is name-for-name (port/blocks.py).
+
 TPU notes: fusion upsampling is nearest-neighbor (as torch F.interpolate
 nearest) implemented with jnp.repeat — shape-static and fusable; all convs
 NHWC so XLA tiles channels onto the 128-lane axis.
@@ -47,7 +51,7 @@ class HRModule(nn.Module):
     def __call__(self, xs):
         common = dict(train=self.train, axis_name=self.axis_name)
         ys = [
-            ResLayer(BasicBlock, self.channels[i], self.num_blocks[i], **common)(xs[i])
+            ResLayer(BasicBlock, self.channels[i], self.num_blocks[i], name=f"branch{i}", **common)(xs[i])
             for i in range(self.num_branches)
         ]
 
@@ -59,16 +63,22 @@ class HRModule(nn.Module):
                 y = ys[j]
                 if j > i:
                     # lower-res -> i: 1x1 conv + BN then nearest upsample
-                    y = conv(self.channels[i], 1)(y)
-                    y = NormAct(not self.train, relu=False, axis_name=self.axis_name)(y)
+                    y = conv(self.channels[i], 1, name=f"fuse{i}_{j}_conv")(y)
+                    y = NormAct(not self.train, relu=False, axis_name=self.axis_name, name=f"fuse{i}_{j}_bn")(y)
                     y = _upsample_nearest(y, 2 ** (j - i))
                 elif j < i:
                     # higher-res -> i: (i-j) stride-2 3x3 convs; ReLU between,
                     # none on the last (reference hr_module.py:150-176)
                     for k in range(i - j):
                         last = k == i - j - 1
-                        y = conv(self.channels[i] if last else self.channels[j], 3, 2)(y)
-                        y = NormAct(not self.train, relu=not last, axis_name=self.axis_name)(y)
+                        y = conv(
+                            self.channels[i] if last else self.channels[j], 3, 2,
+                            name=f"fuse{i}_{j}_{k}_conv",
+                        )(y)
+                        y = NormAct(
+                            not self.train, relu=not last, axis_name=self.axis_name,
+                            name=f"fuse{i}_{j}_{k}_bn",
+                        )(y)
                 acc = y if acc is None else acc + y
             fused.append(nn.relu(acc))
         return fused
@@ -86,27 +96,28 @@ class PoseHighResolutionNet(nn.Module):
         common = dict(train=self.train, axis_name=self.axis_name)
 
         # stem: two stride-2 3x3 convs -> 64ch stride 4
-        x = conv(64, 3, 2)(x)
-        x = NormAct(not self.train, axis_name=self.axis_name)(x)
-        x = conv(64, 3, 2)(x)
-        x = NormAct(not self.train, axis_name=self.axis_name)(x)
-        x = ResLayer(Bottleneck, 64, 4, **common)(x)  # -> 256 ch
+        x = conv(64, 3, 2, name="conv1")(x)
+        x = NormAct(not self.train, axis_name=self.axis_name, name="bn1")(x)
+        x = conv(64, 3, 2, name="conv2")(x)
+        x = NormAct(not self.train, axis_name=self.axis_name, name="bn2")(x)
+        x = ResLayer(Bottleneck, 64, 4, name="layer1", **common)(x)  # -> 256 ch
 
         xs = [x]
         prev_channels = (256,)
         for s_idx, (num_modules, num_branches, num_blocks, channels) in enumerate(self.stages):
             # transition: adapt existing branches, spawn the new lowest one
+            t = s_idx + 1
             new_xs = []
             for i in range(num_branches):
                 if i < len(prev_channels):
                     if prev_channels[i] != channels[i]:
-                        y = conv(channels[i], 3)(xs[i])
-                        y = NormAct(not self.train, axis_name=self.axis_name)(y)
+                        y = conv(channels[i], 3, name=f"transition{t}_{i}_conv")(xs[i])
+                        y = NormAct(not self.train, axis_name=self.axis_name, name=f"transition{t}_{i}_bn")(y)
                     else:
                         y = xs[i]
                 else:
-                    y = conv(channels[i], 3, 2)(xs[-1])
-                    y = NormAct(not self.train, axis_name=self.axis_name)(y)
+                    y = conv(channels[i], 3, 2, name=f"transition{t}_{i}_conv")(xs[-1])
+                    y = NormAct(not self.train, axis_name=self.axis_name, name=f"transition{t}_{i}_bn")(y)
                 new_xs.append(y)
 
             last_stage = s_idx == len(self.stages) - 1
@@ -117,6 +128,7 @@ class PoseHighResolutionNet(nn.Module):
                     num_blocks=num_blocks,
                     channels=channels,
                     multi_scale_output=mso,
+                    name=f"stage{t + 1}_{m}",
                     **common,
                 )(new_xs)
             xs = new_xs

@@ -102,3 +102,58 @@ def smpl_resnet_rules(
             (_j(tpre, "final_layer.bias"), ("params",) + fpath + ("final_layer", "bias"), np.asarray),
         ]
     return rules
+
+
+def hrnet_rules(stages, fpath: tuple = ()) -> list:
+    """Full PoseHighResolutionNet map (reference hr_module.py:188-378).
+
+    `stages`: the framework's stage spec tuples (num_modules, num_branches,
+    num_blocks, channels). Torch names: conv1/bn1/conv2/bn2, layer1 (4
+    Bottlenecks), transition{t} ModuleLists (existing-branch adapters
+    `transition{t}.{i}.{0,1}`, new-branch `transition{t}.{i}.0.{0,1}`),
+    stage{t+1}.{m}.branches.{b}.{k}, stage{t+1}.{m}.fuse_layers.{i}.{j}
+    (j>i: `.0/.1` conv+bn; j<i: `.{k}.0/.{k}.1` per step).
+    """
+    rules = []
+    rules += conv_rules("conv1", fpath + ("conv1",))
+    rules += bn_rules("bn1", fpath + ("bn1", "norm"))
+    rules += conv_rules("conv2", fpath + ("conv2",))
+    rules += bn_rules("bn2", fpath + ("bn2", "norm"))
+    rules += res_layer_rules("layer1", fpath + ("layer1",), "bottleneck", 4, True)
+
+    prev_channels = (256,)
+    for s_idx, (num_modules, num_branches, num_blocks, channels) in enumerate(stages):
+        t = s_idx + 1
+        for i in range(num_branches):
+            if i < len(prev_channels):
+                if prev_channels[i] != channels[i]:
+                    rules += conv_rules(f"transition{t}.{i}.0", fpath + (f"transition{t}_{i}_conv",))
+                    rules += bn_rules(f"transition{t}.{i}.1", fpath + (f"transition{t}_{i}_bn", "norm"))
+            else:
+                rules += conv_rules(f"transition{t}.{i}.0.0", fpath + (f"transition{t}_{i}_conv",))
+                rules += bn_rules(f"transition{t}.{i}.0.1", fpath + (f"transition{t}_{i}_bn", "norm"))
+
+        last_stage = s_idx == len(stages) - 1
+        for m in range(num_modules):
+            mpre = f"stage{t + 1}.{m}"
+            mpath = fpath + (f"stage{t + 1}_{m}",)
+            for b in range(num_branches):
+                rules += res_layer_rules(
+                    f"{mpre}.branches.{b}", mpath + (f"branch{b}",), "basic", num_blocks[b], False
+                )
+            n_out = 1 if (last_stage and m == num_modules - 1) else num_branches
+            for i in range(n_out):
+                for j in range(num_branches):
+                    if j > i:
+                        rules += conv_rules(f"{mpre}.fuse_layers.{i}.{j}.0", mpath + (f"fuse{i}_{j}_conv",))
+                        rules += bn_rules(f"{mpre}.fuse_layers.{i}.{j}.1", mpath + (f"fuse{i}_{j}_bn", "norm"))
+                    elif j < i:
+                        for k in range(i - j):
+                            rules += conv_rules(
+                                f"{mpre}.fuse_layers.{i}.{j}.{k}.0", mpath + (f"fuse{i}_{j}_{k}_conv",)
+                            )
+                            rules += bn_rules(
+                                f"{mpre}.fuse_layers.{i}.{j}.{k}.1", mpath + (f"fuse{i}_{j}_{k}_bn", "norm")
+                            )
+        prev_channels = channels
+    return rules

@@ -1,0 +1,224 @@
+"""Full DaNet checkpoint name map: released .pt state_dict -> this framework.
+
+Torch tree (reference danet.py / iuv_estimator.py / smpl_regressor.py):
+  img2iuv.learned_ratio / learned_offset
+  img2iuv.iuv_est.<backbone>                (HRNet or PoseResNet)
+  img2iuv.iuv_est.final_pred.predict_{u,v,uv_index,ann_index,hm,partial_iuv}
+  iuv2smpl.smpl_para_Outs.body_net.{0,1,3.<SmplResNet>}
+  iuv2smpl.smpl_para_Outs.limb_net.{0,1,3.<SmplResNet truncate=1>}
+  iuv2smpl.smpl_para_Outs.limb_reslayer.layer4.<blocks>
+  iuv2smpl.smpl_para_Outs.{r2p_gcn,refine_gcn,p2r_gcn}.gc.{i} + act.{i}.0
+  iuv2smpl.smpl_para_Outs.edge_importance
+  iuv2smpl.smpl_para_Outs.pose_regressors.{0,1}.1 / coord_regressors.{0,1}.1
+
+Block-level layouts are numerically validated in tests/test_port_blocks.py;
+`synthesize_torch_state_dict` builds a shape-correct fake state_dict from a
+rule list so the full map is structurally testable without the released
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from danet_densepose2smpl_tpu.core.config import DaNetConfig
+from danet_densepose2smpl_tpu.nn.hrnet import HRNET_W48_STAGES
+from danet_densepose2smpl_tpu.port.blocks import (
+    basic_block_rules,
+    bn_rules,
+    conv_rules,
+    hrnet_rules,
+    res_layer_rules,
+    smpl_resnet_rules,
+)
+from danet_densepose2smpl_tpu.port.convert import (
+    convert_conv,
+    convert_deconv,
+    convert_grouped_head,
+    convert_grouped_head_bias,
+    convert_linear,
+)
+
+
+def iuv_head_rules(tpre: str, fpath: tuple) -> list:
+    """IUV_predict_layer map (reference res_module.py:281-390). The heatmap
+    trunk is 3 Bottlenecks + a conv (torch `predict_hm.0.{i}` + `predict_hm.1`)."""
+    rules = []
+    for tname, fname in (
+        ("predict_u", "predict_u"),
+        ("predict_v", "predict_v"),
+        ("predict_uv_index", "predict_uv_index"),
+        ("predict_ann_index", "predict_ann_index"),
+    ):
+        rules += conv_rules(f"{tpre}.{tname}", fpath + (fname,), bias=True)
+    # trunk: 3 Bottlenecks at feat_dim/4 planes; in==out so no projection
+    rules += res_layer_rules(f"{tpre}.predict_hm.0", fpath + ("hm_trunk",), "bottleneck", 3, False)
+    rules += conv_rules(f"{tpre}.predict_hm.1", fpath + ("predict_hm",), bias=True)
+    return rules
+
+
+def adapter_rules(tpre: str, fpath: tuple) -> list:
+    """Conv1x1BNRelu adapter = torch Sequential(conv, bn, relu) prefix .0/.1."""
+    rules = conv_rules(f"{tpre}.0", fpath + ("Conv_0",))
+    rules += bn_rules(f"{tpre}.1", fpath + ("NormAct_0", "norm"))
+    return rules
+
+
+def gcn_rules(tpre: str, fpath: tuple, num_layers: int) -> list:
+    """GCN map (reference GCN.py): gc.{i}.weight/bias + act.{i}.0 BatchNorm1d."""
+    rules = []
+    for i in range(num_layers):
+        rules += [
+            (f"{tpre}.gc.{i}.weight", ("params",) + fpath + (f"gc{i}", "weight"), np.asarray),
+            (f"{tpre}.gc.{i}.bias", ("params",) + fpath + (f"gc{i}", "bias"), np.asarray),
+        ]
+        rules += bn_rules(f"{tpre}.act.{i}.0", fpath + (f"bn{i}",))
+    return rules
+
+
+def grouped_head_rules(tpre: str, fpath: tuple) -> list:
+    """pose/coord regressor: Sequential(pool, grouped 1x1 conv) -> PartwiseDense."""
+    return [
+        (f"{tpre}.1.weight", ("params",) + fpath + ("kernel",), lambda w: convert_grouped_head(w, 24)),
+        (f"{tpre}.1.bias", ("params",) + fpath + ("bias",), lambda b: convert_grouped_head_bias(b, 24)),
+    ]
+
+
+def danet_rules(cfg: DaNetConfig) -> list:
+    """The complete released-checkpoint map for the default 'gcn' DaNet."""
+    rules = []
+
+    # STN crop parameters (buffers in 'iuv' mode)
+    rules += [
+        ("img2iuv.learned_ratio", ("params", "img2iuv", "stn_ratio"), np.asarray),
+        ("img2iuv.learned_offset", ("params", "img2iuv", "stn_offset"), np.asarray),
+    ]
+
+    bpre = "img2iuv.iuv_est"
+    bpath = ("img2iuv", "backbone")
+    if cfg.iuv_regressor == "hrnet":
+        rules += [(f"{bpre}.{k}", d, t) for k, d, t in _strip(hrnet_rules(HRNET_W48_STAGES, bpath))]
+    else:
+        rules += smpl_resnet_like_pose_resnet(bpre, bpath, cfg.msres_num_layers)
+
+    rules += iuv_head_rules(f"{bpre}.final_pred", ("img2iuv", "iuv_head"))
+    if cfg.decomposed:
+        # the grouped partial head lives in its own flax module beside the
+        # iuv head (groups=24 3x3 conv keeps the plain conv layout rule)
+        rules += conv_rules(
+            f"{bpre}.final_pred.predict_partial_iuv",
+            ("img2iuv", "partial_head", "predict_partial_iuv"), bias=True,
+        )
+
+    rpre = "iuv2smpl.smpl_para_Outs"
+    rpath = ("iuv2smpl",)
+    rules += adapter_rules(f"{rpre}.body_net", rpath + ("body_adapter",))
+    rules += smpl_resnet_rules(f"{rpre}.body_net.3", rpath + ("body_net",), cfg.glo_num_layers, 13)
+    rules += adapter_rules(f"{rpre}.limb_net", rpath + ("limb_adapter",))
+    rules += smpl_resnet_rules(
+        f"{rpre}.limb_net.3", rpath + ("limb_net",), cfg.limb_num_layers, 0, truncate=1
+    )
+    rules += res_layer_rules(
+        f"{rpre}.limb_reslayer.layer4", rpath + ("limb_reslayer", "layer4"), "basic", 2, True
+    )
+
+    r = cfg.refinement
+    rules += gcn_rules(f"{rpre}.r2p_gcn", rpath + ("r2p_gcn",), 1)
+    rules += gcn_rules(f"{rpre}.refine_gcn", rpath + ("refine_gcn",), r.gcn_num_layer)
+    rules += gcn_rules(f"{rpre}.p2r_gcn", rpath + ("p2r_gcn",), 1)
+    rules += [
+        (f"{rpre}.edge_importance", ("params",) + rpath + ("edge_importance",),
+         lambda w: np.asarray(w).reshape(24, 24)),
+    ]
+    rules += grouped_head_rules(f"{rpre}.pose_regressors.0", rpath + ("pose_regressor_0",))
+    rules += grouped_head_rules(f"{rpre}.pose_regressors.1", rpath + ("pose_regressor_1",))
+    rules += grouped_head_rules(f"{rpre}.coord_regressors.0", rpath + ("coord_regressor_0",))
+    rules += grouped_head_rules(f"{rpre}.coord_regressors.1", rpath + ("coord_regressor_1",))
+    return rules
+
+
+def _strip(rules):
+    """hrnet_rules emits bare torch keys; reattach under a prefix."""
+    return [(k, d, t) for (k, d, t) in rules]
+
+
+def smpl_resnet_like_pose_resnet(tpre: str, fpath: tuple, depth: int) -> list:
+    """PoseResNet map: resnet trunk + 3 deconv layers (torch
+    `deconv_layers.{0,3,6}` convs and `{1,4,7}` bns)."""
+    rules = smpl_resnet_rules(tpre, fpath, depth, num_classes=0)
+    for di in range(3):
+        rules += [
+            (f"{tpre}.deconv_layers.{di * 3}.weight",
+             ("params",) + fpath + (f"deconv{di}", "ConvTranspose_0", "kernel"), convert_deconv),
+        ]
+        rules += bn_rules(f"{tpre}.deconv_layers.{di * 3 + 1}", fpath + (f"deconv{di}", "NormAct_0", "norm"))
+    return rules
+
+
+def synthesize_torch_state_dict(rules, variables) -> dict:
+    """Shape-correct fake torch state_dict from a rule list + flax template
+    (structural testing without the released files)."""
+    from danet_densepose2smpl_tpu.port.convert import _flatten
+
+    flat = {col: _flatten(variables.get(col, {})) for col in ("params", "batch_stats")}
+    inv = {}
+    rng = np.random.RandomState(0)
+    for torch_key, dest, transform in rules:
+        col, *path = dest
+        tgt = flat[col][tuple(path)]
+        shape = tuple(tgt.shape)
+        if transform is convert_conv:
+            tshape = (shape[3], shape[2], shape[0], shape[1])
+        elif transform is convert_deconv:
+            tshape = (shape[2], shape[3], shape[0], shape[1])
+        elif transform is convert_linear:
+            tshape = (shape[1], shape[0])
+        elif transform is np.asarray or transform is None:
+            tshape = shape
+        else:
+            # grouped heads / reshapes: probe by transforming a trial array
+            tshape = _probe_inverse(transform, shape)
+        if torch_key not in inv:
+            val = rng.randn(*tshape).astype(np.float32) * 0.05
+            if torch_key.endswith("running_var"):
+                val = np.abs(val) + 0.5  # variances must be positive
+            inv[torch_key] = val
+    return inv
+
+
+def _probe_inverse(transform, out_shape):
+    """Find a torch-side shape whose transform yields `out_shape` by trying
+    the known grouped/reshape layouts."""
+    candidates = [
+        (out_shape[0] * out_shape[-1], out_shape[1], 1, 1) if len(out_shape) == 3 else None,  # grouped kernel
+        (out_shape[0] * out_shape[-1],) if len(out_shape) == 2 else None,                      # grouped bias
+        (1,) + out_shape if len(out_shape) == 2 else None,                                     # edge importance (1,24,24)
+    ]
+    for cand in candidates:
+        if cand is None:
+            continue
+        try:
+            if tuple(np.asarray(transform(np.zeros(cand, np.float32))).shape) == tuple(out_shape):
+                return cand
+        except Exception:
+            continue
+    raise ValueError(f"cannot invert transform for target shape {out_shape}")
+
+
+def load_danet_checkpoint(pt_path: str, cfg: DaNetConfig, variables: dict, strict: bool = True):
+    """Load a released reference checkpoint (.pt) into flax variables.
+
+    The files store {'model': state_dict}; DataParallel 'module.' prefixes
+    are stripped (reference res_module.py:262-270). Returns
+    (variables, report)."""
+    import torch
+
+    from danet_densepose2smpl_tpu.port.convert import apply_rules
+
+    ckpt = torch.load(pt_path, map_location="cpu")
+    sd = ckpt.get("model", ckpt)
+    sd = {
+        (k[7:] if k.startswith("module.") else k): v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in sd.items()
+    }
+    return apply_rules(sd, variables, danet_rules(cfg), strict=strict)

@@ -170,3 +170,155 @@ def test_full_smpl_resnet18_conversion(rng):
     assert not report["unconsumed_torch_keys"], report["unconsumed_torch_keys"]
     got, _ = fmod.apply(new_vars, xf)
     np.testing.assert_allclose(np.asarray(got), exp, atol=3e-4)
+
+
+def test_full_hrnet_conversion(rng):
+    """A torch HRNet twin (reference hr_module.py topology + names, small
+    stage spec) converts name-for-name through hrnet_rules and reproduces
+    through the flax PoseHighResolutionNet."""
+    from danet_densepose2smpl_tpu.nn.hrnet import PoseHighResolutionNet
+    from danet_densepose2smpl_tpu.port.blocks import hrnet_rules
+
+    stages = ((1, 2, (2, 2), (8, 16)), (1, 3, (2, 2, 2), (8, 16, 32)))
+
+    def conv_bn_relu(cin, cout, stride=1):
+        return tnn.Sequential(
+            tnn.Conv2d(cin, cout, 3, stride, 1, bias=False), tnn.BatchNorm2d(cout), tnn.ReLU()
+        )
+
+    class TorchHR(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 3, 2, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.conv2 = tnn.Conv2d(64, 64, 3, 2, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(64)
+            blocks = [torch_bottleneck(64, 64)] + [torch_bottleneck(256, 64) for _ in range(3)]
+            self.layer1 = tnn.Sequential(*blocks)
+
+            prev = (256,)
+            self.specs = stages
+            for s_idx, (nm, nb, nblk, ch) in enumerate(stages):
+                t = s_idx + 1
+                trans = tnn.ModuleList()
+                for i in range(nb):
+                    if i < len(prev):
+                        if prev[i] != ch[i]:
+                            trans.append(
+                                tnn.Sequential(
+                                    tnn.Conv2d(prev[i], ch[i], 3, 1, 1, bias=False),
+                                    tnn.BatchNorm2d(ch[i]), tnn.ReLU(),
+                                )
+                            )
+                        else:
+                            trans.append(tnn.Identity())
+                    else:
+                        trans.append(tnn.Sequential(conv_bn_relu(prev[-1], ch[i], 2)))
+                setattr(self, f"transition{t}", trans)
+
+                mods = tnn.ModuleList()
+                for m in range(nm):
+                    mod = tnn.Module()
+                    mod.branches = tnn.ModuleList(
+                        [tnn.Sequential(*[torch_basic_block(ch[b], ch[b]) for _ in range(nblk[b])]) for b in range(nb)]
+                    )
+                    last = s_idx == len(stages) - 1 and m == nm - 1
+                    n_out = 1 if last else nb
+                    fuse = tnn.ModuleList()
+                    for i in range(n_out):
+                        row = tnn.ModuleList()
+                        for j in range(nb):
+                            if j > i:
+                                row.append(tnn.Sequential(
+                                    tnn.Conv2d(ch[j], ch[i], 1, bias=False), tnn.BatchNorm2d(ch[i]),
+                                    tnn.Upsample(scale_factor=2 ** (j - i), mode="nearest"),
+                                ))
+                            elif j < i:
+                                steps = []
+                                for k in range(i - j):
+                                    lastk = k == i - j - 1
+                                    cout = ch[i] if lastk else ch[j]
+                                    seq = [tnn.Conv2d(ch[j], cout, 3, 2, 1, bias=False), tnn.BatchNorm2d(cout)]
+                                    if not lastk:
+                                        seq.append(tnn.ReLU())
+                                    steps.append(tnn.Sequential(*seq))
+                                row.append(tnn.Sequential(*steps))
+                            else:
+                                row.append(tnn.Identity())
+                        fuse.append(row)
+                    mod.fuse_layers = fuse
+                    mods.append(mod)
+                setattr(self, f"stage{t + 1}", mods)
+                prev = ch
+
+        def forward(self, x):
+            x = torch.relu(self.bn1(self.conv1(x)))
+            x = torch.relu(self.bn2(self.conv2(x)))
+            x = self.layer1(x)
+            xs = [x]
+            prev_n = 1
+            for s_idx, (nm, nb, nblk, ch) in enumerate(self.specs):
+                t = s_idx + 1
+                trans = getattr(self, f"transition{t}")
+                new = []
+                for i in range(nb):
+                    src = xs[i] if i < prev_n else xs[-1]
+                    new.append(trans[i](src))
+                for mod in getattr(self, f"stage{t + 1}"):
+                    ys = [mod.branches[b](new[b]) for b in range(nb)]
+                    outs = []
+                    for i, row in enumerate(mod.fuse_layers):
+                        acc = None
+                        for j in range(nb):
+                            y = ys[j] if isinstance(row[j], tnn.Identity) else row[j](ys[j])
+                            acc = y if acc is None else acc + y
+                        outs.append(torch.relu(acc))
+                    new = outs
+                xs = new
+                prev_n = nb
+            return xs[0]
+
+    tmod = TorchHR()
+    randomize_bn_stats(tmod, rng)
+    tmod.eval()
+    x = rng.rand(1, 3, 32, 32).astype(np.float32)
+    exp = np.moveaxis(tmod(torch.from_numpy(x)).detach().numpy(), 1, -1)
+
+    fmod = PoseHighResolutionNet(stages=stages, train=False)
+    xf = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = fmod.init({"params": jax.random.PRNGKey(0)}, xf)
+    sd = {k: v.numpy() for k, v in tmod.state_dict().items()}
+    rules = hrnet_rules(stages)
+    new_vars, report = apply_rules(sd, variables, rules, strict=True)
+    assert not report["unconsumed_torch_keys"], report["unconsumed_torch_keys"][:6]
+    got = np.asarray(fmod.apply(new_vars, xf))
+    np.testing.assert_allclose(got, exp, atol=3e-4)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("backbone", ["hrnet", "resnet"])
+def test_danet_full_map_structural(backbone, rng):
+    """The complete DaNet checkpoint map covers every flax parameter and
+    consumes every (synthesized, shape-correct) torch key; the converted
+    model executes."""
+    from danet_densepose2smpl_tpu.core.config import DaNetConfig
+    from danet_densepose2smpl_tpu.models.danet import DaNet
+    from danet_densepose2smpl_tpu.port.danet_map import danet_rules, synthesize_torch_state_dict
+
+    kw = {"iuv_regressor": backbone}
+    if backbone == "resnet":
+        kw["msres_num_layers"] = 18  # keep the test light
+    cfg = DaNetConfig(**kw)
+    model = DaNet(cfg, train=False)
+    size = 64 if backbone == "resnet" else 224
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, size, size, 3)))
+
+    rules = danet_rules(cfg)
+    sd = synthesize_torch_state_dict(rules, variables)
+    new_vars, report = apply_rules(sd, variables, rules, strict=True)
+    assert not report["unconsumed_torch_keys"], report["unconsumed_torch_keys"][:5]
+    assert not report["unfilled_params"]
+    out = model.apply(new_vars, jnp.zeros((1, size, size, 3)))
+    assert np.isfinite(np.asarray(out["para"])).all()

@@ -18,6 +18,8 @@ import numpy as np
 def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--cfg", default=None, help="YAML config (reference layout)")
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir (or empty for random init)")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="released reference .pt checkpoint to port (danet/hmr)")
     p.add_argument("--regressor", default="danet", choices=["danet", "hmr"])
     p.add_argument("--smpl_model", default=os.environ.get("SMPL_MODEL_PATH"),
                    help=".pkl/.npz SMPL model (dir ok); synthetic if absent")
@@ -99,6 +101,19 @@ def build_model_and_params(args, cfg, train: bool = False):
         if train:
             rngs.update(jitter=jax.random.PRNGKey(1), partdrop=jax.random.PRNGKey(2))
         variables = model.init(rngs, jnp.zeros((1, cfg.danet.img_size, cfg.danet.img_size, 3)))
+
+    if getattr(args, "torch_checkpoint", None):
+        if args.regressor == "hmr":
+            from danet_densepose2smpl_tpu.port.danet_map import load_hmr_checkpoint
+
+            variables, report = load_hmr_checkpoint(args.torch_checkpoint, variables, strict=True)
+        else:
+            from danet_densepose2smpl_tpu.port.danet_map import load_danet_checkpoint
+
+            variables, report = load_danet_checkpoint(args.torch_checkpoint, cfg.danet, variables, strict=True)
+        extra = report["unconsumed_torch_keys"]
+        print(f"ported {args.torch_checkpoint} ({len(extra)} torch keys unused"
+              + (f", e.g. {extra[:3]}" if extra else "") + ")")
 
     if args.checkpoint:
         import jax.numpy as jnp

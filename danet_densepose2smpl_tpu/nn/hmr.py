@@ -32,13 +32,13 @@ class HMR(nn.Module):
         b = x.shape[0]
         common = dict(train=self.train, axis_name=self.axis_name)
 
-        x = conv(64, 7, 2)(x)
-        x = NormAct(not self.train, axis_name=self.axis_name)(x)
+        x = conv(64, 7, 2, name="conv1")(x)
+        x = NormAct(not self.train, axis_name=self.axis_name, name="bn1")(x)
         x = max_pool_3x3_s2(x)
-        x = ResLayer(Bottleneck, 64, 3, **common)(x)
-        x = ResLayer(Bottleneck, 128, 4, stride=2, **common)(x)
-        x = ResLayer(Bottleneck, 256, 6, stride=2, **common)(x)
-        x = ResLayer(Bottleneck, 512, 3, stride=2, **common)(x)
+        x = ResLayer(Bottleneck, 64, 3, name="layer1", **common)(x)
+        x = ResLayer(Bottleneck, 128, 4, stride=2, name="layer2", **common)(x)
+        x = ResLayer(Bottleneck, 256, 6, stride=2, name="layer3", **common)(x)
+        x = ResLayer(Bottleneck, 512, 3, stride=2, name="layer4", **common)(x)
         xf = jnp.mean(x, axis=(1, 2))  # (B, 2048)
 
         fc1 = nn.Dense(1024, name="fc1")

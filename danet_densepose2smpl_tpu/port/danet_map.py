@@ -222,3 +222,41 @@ def load_danet_checkpoint(pt_path: str, cfg: DaNetConfig, variables: dict, stric
         for k, v in sd.items()
     }
     return apply_rules(sd, variables, danet_rules(cfg), strict=strict)
+
+
+def hmr_rules() -> list:
+    """HMR/SPIN checkpoint map (reference models/hmr.py:51-154): ResNet-50
+    trunk (torchvision names) + fc1/fc2 + decpose/decshape/deccam heads."""
+    rules = []
+    rules += conv_rules("conv1", ("conv1",))
+    rules += bn_rules("bn1", ("bn1", "norm"))
+    counts = (3, 4, 6, 3)
+    in_ch = 64
+    for li, planes in enumerate((64, 128, 256, 512)):
+        stride = 1 if li == 0 else 2
+        has_ds = stride != 1 or in_ch != planes * 4
+        rules += res_layer_rules(f"layer{li + 1}", (f"layer{li + 1}",), "bottleneck", counts[li], has_ds)
+        in_ch = planes * 4
+    for name in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        rules += [
+            (f"{name}.weight", ("params", name, "kernel"), convert_linear),
+            (f"{name}.bias", ("params", name, "bias"), np.asarray),
+        ]
+    return rules
+
+
+def load_hmr_checkpoint(pt_path: str, variables: dict, strict: bool = True):
+    """Load a released SPIN/HMR checkpoint into the flax HMR baseline."""
+    import torch
+
+    from danet_densepose2smpl_tpu.port.convert import apply_rules
+
+    ckpt = torch.load(pt_path, map_location="cpu")
+    sd = ckpt.get("model", ckpt)
+    sd = {
+        (k[7:] if k.startswith("module.") else k): v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in sd.items()
+    }
+    # the HMR baseline stores mean-param buffers we don't port (init args)
+    sd = {k: v for k, v in sd.items() if not k.startswith("init_")}
+    return apply_rules(sd, variables, hmr_rules(), strict=strict)

@@ -322,3 +322,24 @@ def test_danet_full_map_structural(backbone, rng):
     assert not report["unfilled_params"]
     out = model.apply(new_vars, jnp.zeros((1, size, size, 3)))
     assert np.isfinite(np.asarray(out["para"])).all()
+
+
+def test_hmr_map_structural(rng):
+    """HMR checkpoint map: full coverage with a synthesized state_dict."""
+    from danet_densepose2smpl_tpu.nn.hmr import HMR
+    from danet_densepose2smpl_tpu.port.danet_map import hmr_rules, synthesize_torch_state_dict
+
+    m = HMR(train=False)
+    v = m.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 144)), jnp.zeros((1, 10)), jnp.asarray([[0.9, 0.0, 0.0]]),
+    )
+    rules = hmr_rules()
+    sd = synthesize_torch_state_dict(rules, v)
+    new_vars, report = apply_rules(sd, v, rules, strict=True)
+    assert not report["unconsumed_torch_keys"]
+    assert not report["unfilled_params"]
+    rot, shape, cam = m.apply(
+        new_vars, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 144)), jnp.zeros((1, 10)), jnp.asarray([[0.9, 0.0, 0.0]])
+    )
+    assert np.isfinite(np.asarray(rot)).all()

@@ -79,6 +79,28 @@ class DaNetConfig:
     # numerics
     compute_dtype: str = "float32"   # 'bfloat16' flips conv/matmul activations
 
+    def __post_init__(self):
+        # Fail fast on knobs we deliberately don't wire instead of silently
+        # accepting them. The reference supports INPUT_MODE ablations
+        # rgb/iuv_feat/iuv_gt_feat/feat/seg (danet.py:67-124); this framework
+        # implements the default 'iuv' and the oracle 'iuv_gt'.
+        supported_modes = ("iuv", "iuv_gt")
+        if self.input_mode not in supported_modes:
+            raise ValueError(
+                f"input_mode '{self.input_mode}' is not implemented; supported: "
+                f"{supported_modes}. The reference's rgb/feat/seg ablation wiring "
+                "was deliberately omitted (see PARITY.md)."
+            )
+        if self.refine_strategy not in ("gcn", "gcn_direct", "lstm", "lstm_direct"):
+            raise ValueError(
+                f"unknown refine_strategy '{self.refine_strategy}' "
+                "(supported: gcn, gcn_direct, lstm, lstm_direct)"
+            )
+        if self.iuv_regressor not in ("hrnet", "resnet"):
+            raise ValueError(
+                f"unknown iuv_regressor '{self.iuv_regressor}' (supported: hrnet, resnet)"
+            )
+
 
 @dataclass(frozen=True)
 class TrainConfig:

@@ -165,6 +165,19 @@ def stn_losses(stn_centers, smpl_kps_gt, cfg: DaNetConfig):
     return loss * cfg.stn_kps_weights
 
 
+def stn_heatmap_loss(hm_pred, smpl_kps_gt, cfg: DaNetConfig):
+    """STN heatmap supervision (reference iuv_estimator.py:142-158): mean
+    smooth-l1 between the 24-joint heatmap head output and Gaussian targets
+    centered at the GT SMPL keypoints (mapped [-1,1] -> [0,1]).
+
+    hm_pred: (B, H, W, 24) channels-last; smpl_kps_gt: (B, 24, 3)."""
+    from danet_densepose2smpl_tpu.ops.keypoints import gaussian_heatmaps
+
+    kps01 = jax.lax.stop_gradient(smpl_kps_gt[..., :2]) * 0.5 + 0.5
+    hm_gt, _ = gaussian_heatmaps(kps01, hm_pred.shape[1])
+    return jnp.mean(smooth_l1(hm_pred - hm_gt)) * cfg.stn_hm_weights
+
+
 # --------------------------------------------------------------------------
 # SMPL-side losses
 # --------------------------------------------------------------------------
@@ -223,6 +236,15 @@ def cam_losses(pred_cam, gt_cam, has_smpl):
     loss_cam = _l1_sum_over_samples(pred_cam - gt_cam, has_smpl)
     loss_depth = jnp.mean(jnp.exp(-pred_cam[:, 0] * 10.0) ** 2)
     return loss_cam, loss_depth
+
+
+def orthogonal_loss(pred_rotmat, cfg: DaNetConfig):
+    """Orthogonality regularizer on predicted rotations (reference
+    smpl_regressor.py:240-246): MSE between R @ R^T and identity over all
+    B*24 rotation matrices."""
+    r = pred_rotmat.reshape(-1, 3, 3)
+    rrt = jnp.einsum("bij,bkj->bik", r, r)
+    return jnp.mean((rrt - jnp.eye(3)) ** 2) * cfg.orthogonal_weights
 
 
 def aux_rotation_loss(pred_rot_flat, gt_rotmat_flat, has_smpl, cfg: DaNetConfig):

@@ -107,6 +107,10 @@ def compute_losses(
     # --- STN center supervision ---
     if cfg.decomposed and cfg.stn_kps_weights > 0 and "target_smpl_kps" in batch:
         losses["loss_roi"] = L.stn_losses(raw["stn_centers"], batch["target_smpl_kps"], cfg)
+    if cfg.decomposed and cfg.stn_hm_weights > 0 and "target_smpl_kps" in batch and "heatmaps" in raw:
+        losses["loss_stnhm"] = L.stn_heatmap_loss(
+            raw["heatmaps"], batch["target_smpl_kps"], cfg
+        )
 
     if pretrain_mode:
         total = sum(losses.values())
@@ -122,6 +126,9 @@ def compute_losses(
 
     lp, lb = L.smpl_param_losses(pred_rotmat, pred_betas, gt_rotmat, gt_betas, has_smpl, cfg)
     losses.update(smpl_pose=lp, smpl_betas=lb)
+
+    if cfg.orthogonal_weights > 0:
+        losses["Rs_orth"] = L.orthogonal_loss(pred_rotmat, cfg)
 
     smpl_out = smpl_forward(smpl, pred_betas, pred_rotmat)
     kp2d = L.reproject(smpl_out.joints, pred_cam, float(cfg.img_size))

@@ -44,7 +44,16 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.adam(make_lr_schedule(cfg))
+    """Adam at the reference's operating point (trainer.py:42-44). SGD is
+    accepted for completeness; anything else fails fast rather than being
+    silently mapped to Adam."""
+    if cfg.solver.optimizer == "adam":
+        return optax.adam(make_lr_schedule(cfg))
+    if cfg.solver.optimizer == "sgd":
+        return optax.sgd(make_lr_schedule(cfg), momentum=0.9)
+    raise ValueError(
+        f"unsupported solver.optimizer '{cfg.solver.optimizer}' (supported: adam, sgd)"
+    )
 
 
 def create_train_state(model: DaNet, cfg: Config, rng, sample_image) -> TrainState:

@@ -237,3 +237,59 @@ def test_reproject_range(rng):
     out = np.asarray(L.reproject(jnp.asarray(joints), jnp.asarray(cam), 224.0))
     assert out.shape == (2, 49, 2)
     assert np.abs(out).max() < 5
+
+
+def test_orthogonal_loss_matches_torch(rng):
+    """Reference smpl_regressor.py:240-246: mse(R @ R^T, I) over B*24 rotmats."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, orthogonal_weights=0.1)
+    rotmat = rng.randn(3, 24, 3, 3).astype(np.float32)
+
+    R = torch.from_numpy(rotmat).view(-1, 3, 3)
+    exp = F.mse_loss(torch.bmm(R, R.transpose(1, 2)), torch.eye(3).expand(72, 3, 3)) * 0.1
+
+    got = L.orthogonal_loss(jnp.asarray(rotmat), cfg)
+    np.testing.assert_allclose(float(got), float(exp), rtol=1e-5)
+
+
+def test_stn_heatmap_loss_matches_torch(rng):
+    """Reference iuv_estimator.py:142-158: smooth-l1 vs generate_heatmap
+    targets built from GT kps mapped [-1,1]->[0,1]."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, stn_hm_weights=2.0)
+    b, s = 2, 56
+    kps = np.zeros((b, 24, 3), np.float32)
+    kps[..., :2] = rng.uniform(-0.9, 0.9, (b, 24, 2))
+    kps[..., 2] = 1.0
+    hm_pred = (rng.randn(b, s, s, 24) * 0.1).astype(np.float32)
+
+    # torch oracle: the reference's generate_heatmap per joint
+    def ref_heatmap(joints01):
+        tgt = np.zeros((24, s, s), np.float32)
+        for j in range(24):
+            mu_x = int(joints01[j, 0] * s + 0.5)
+            mu_y = int(joints01[j, 1] * s + 0.5)
+            ul = [mu_x - 3, mu_y - 3]
+            br = [mu_x + 4, mu_y + 4]
+            if ul[0] >= s or ul[1] >= s or br[0] < 0 or br[1] < 0:
+                continue
+            x = np.arange(7, dtype=np.float32)
+            g = np.exp(-((x - 3) ** 2 + (x[:, None] - 3) ** 2) / 2.0)
+            gx = max(0, -ul[0]), min(br[0], s) - ul[0]
+            gy = max(0, -ul[1]), min(br[1], s) - ul[1]
+            ix = max(0, ul[0]), min(br[0], s)
+            iy = max(0, ul[1]), min(br[1], s)
+            tgt[j, iy[0]:iy[1], ix[0]:ix[1]] = g[gy[0]:gy[1], gx[0]:gx[1]]
+        return tgt
+
+    tgts = np.stack([ref_heatmap(kps[i, :, :2] * 0.5 + 0.5) for i in range(b)])
+    exp = F.smooth_l1_loss(
+        torch.from_numpy(np.moveaxis(hm_pred, -1, 1).copy()), torch.from_numpy(tgts)
+    ) * 2.0
+
+    got = L.stn_heatmap_loss(jnp.asarray(hm_pred), jnp.asarray(kps), cfg)
+    # the vectorized target evaluates the Gaussian everywhere (no 7x7 box
+    # truncation); the tail beyond 3 sigma is < 1.2e-2 per pixel
+    np.testing.assert_allclose(float(got), float(exp), rtol=2e-2)

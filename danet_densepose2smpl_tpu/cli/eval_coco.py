@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--num_samples", type=int, default=32)
     p.add_argument("--result_file", default=None)
+    p.add_argument("--coco_gt_json", default=None,
+                   help="person_keypoints_*.json; when given, AP is scored "
+                        "against the full COCO GT (crowds + all persons) "
+                        "exactly as pycocotools COCOeval would")
     args = p.parse_args(argv)
 
     from danet_densepose2smpl_tpu.core.config import load_config
@@ -56,12 +60,17 @@ def main(argv=None):
     def infer_fn(img):
         return model.apply(variables, img)["para"]
 
-    ap, preds = run_coco_eval(infer_fn, loader.epoch(0), smpl, img_res=cfg.danet.img_size)
+    ap, preds = run_coco_eval(
+        infer_fn, loader.epoch(0), smpl, img_res=cfg.danet.img_size,
+        imgnames=ds.imgname, gt_json=args.coco_gt_json,
+    )
 
-    print("| Metric | Value |")
-    print("|--------|-------|")
-    for k in ("AP", "AP50", "AP75", "AR"):
-        print(f"| {k:6s} | {ap[k]:.4f} |")
+    # markdown table in the reference's _print_name_value layout
+    # (eval_coco.py:178-194)
+    names = ("AP", "AP50", "AP75", "APm", "APl", "AR", "AR50", "AR75", "ARm", "ARl")
+    print("| Arch " + " ".join(f"| {n}" for n in names) + " |")
+    print("|---" * (len(names) + 1) + "|")
+    print("| " + args.regressor + " " + " ".join(f"| {ap[n]:.3f}" for n in names) + " |")
 
     if args.result_file:
         np.savez(args.result_file, preds=preds, **ap)

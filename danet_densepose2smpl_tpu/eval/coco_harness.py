@@ -14,7 +14,7 @@ import numpy as np
 
 from danet_densepose2smpl_tpu.constants import FOCAL_LENGTH, IMG_RES, J24_TO_JCOCO
 from danet_densepose2smpl_tpu.data.transforms import get_transform
-from danet_densepose2smpl_tpu.eval.metrics import keypoint_oks_ap
+from danet_densepose2smpl_tpu.eval.metrics import keypoint_oks_ap, rescore_detections
 from danet_densepose2smpl_tpu.ops.projection import perspective_projection
 from danet_densepose2smpl_tpu.smpl import SMPLModel, smpl_forward
 
@@ -48,44 +48,115 @@ def make_coco_step(infer_fn, smpl: SMPLModel, img_res: int = IMG_RES):
     return step
 
 
+def image_id_from_name(imgname: str) -> int:
+    """COCO image id from a val2014 path — reference
+    `coco_keypoint_dataset.py:312` parses `int(img_path[-16:-4])`; fall back
+    to any digits in the basename, then to a hash, for synthetic fixtures."""
+    import os
+    import re
+
+    base = os.path.basename(str(imgname))
+    tail = str(imgname)[-16:-4]
+    if tail.isdigit():
+        return int(tail)
+    m = re.search(r"(\d+)", base)
+    if m:
+        return int(m.group(1))
+    return abs(hash(base)) % (1 << 31)
+
+
+def load_coco_gt(gt_json: str) -> list:
+    """Ground-truth list for `keypoint_oks_ap` from a COCO person-keypoints
+    annotation json — the exact GT COCOeval sees (crowd + zero-keypoint
+    annotations become ignore regions)."""
+    import json
+
+    with open(gt_json) as f:
+        coco = json.load(f)
+    person_ids = {c["id"] for c in coco.get("categories", []) if c.get("name", "person") == "person"}
+    gts = []
+    for ann in coco["annotations"]:
+        if person_ids and ann.get("category_id") not in person_ids:
+            continue
+        kp = np.asarray(ann["keypoints"], dtype=np.float64).reshape(-1, 3)
+        gts.append({
+            "image_id": int(ann["image_id"]),
+            "keypoints": kp,
+            "area": float(ann["area"]),
+            "bbox": [float(v) for v in ann["bbox"]],
+            "iscrowd": int(ann.get("iscrowd", 0)),
+        })
+    return gts
+
+
 def run_coco_eval(
     infer_fn,
     loader,
     smpl: SMPLModel,
     img_res: int = IMG_RES,
     log_every: int = 10,
+    imgnames=None,
+    gt_json: str | None = None,
 ):
-    """Returns (ap_dict, all_preds (N, 17, 3) in original image coords).
+    """Returns (stats_dict, all_preds (N, 17, 3) in original image coords).
+
+    Detections are grouped per true COCO image (multi-person images evaluate
+    jointly) and rescored per person by mean keypoint confidence x box score
+    (reference `coco_keypoint_dataset.py:287-340`; like the reference, the
+    model emits no per-keypoint confidence, so all confidences are 1 and the
+    rescored score equals the box score). GT comes from `gt_json` when given
+    (exact COCOeval ground truth incl. crowd regions); otherwise it is
+    rebuilt from the npz keypoints with bbox area from center/scale.
 
     Each loader batch must carry img/center/scale/keypoints (GT keypoints in
-    [-1, 1] crop coords; used to build the OKS ground truth).
+    [-1, 1] crop coords) and sample indices b into `imgnames`.
     """
     step = make_coco_step(infer_fn, smpl, img_res)
 
-    preds_list, gts_list = [], []
+    detections, gts_list = [], []
     all_preds = []
+    n_done = 0
     for b, batch in loader:
         coords = np.asarray(step(jnp.asarray(batch["img"])))
         center = np.asarray(batch["center"])
         scale = np.asarray(batch["scale"])
         kp_gt = np.asarray(batch["keypoints"])  # (B, 49, 3) in [-1, 1]
+        idxs = np.asarray(batch["sample_index"]) if "sample_index" in batch else np.arange(
+            n_done, n_done + coords.shape[0]
+        )
 
         for i in range(coords.shape[0]):
+            img_id = (
+                image_id_from_name(imgnames[int(idxs[i])])
+                if imgnames is not None
+                else int(idxs[i])
+            )
             pred_orig = transform_preds(coords[i], center[i], float(scale[i]), (img_res, img_res))
             pred = np.concatenate([pred_orig, np.ones((17, 1))], axis=1)
             all_preds.append(pred)
+            detections.append({"image_id": img_id, "keypoints": pred, "box_score": 1.0})
 
-            gt24 = kp_gt[i, 25:]
-            gt_coco = gt24[J24_TO_JCOCO].copy()
-            gt_px = 0.5 * img_res * (gt_coco[:, :2] + 1.0)
-            gt_orig = transform_preds(gt_px, center[i], float(scale[i]), (img_res, img_res))
-            vis = (gt_coco[:, 2] > 0).astype(np.float64) * 2
-            area = (scale[i] * 200.0) ** 2
-            preds_list.append([{"keypoints": pred, "score": 1.0}])
-            gts_list.append([{"keypoints": np.concatenate([gt_orig, vis[:, None]], 1), "area": float(area)}])
+            if gt_json is None:
+                gt24 = kp_gt[i, 25:]
+                gt_coco = gt24[J24_TO_JCOCO].copy()
+                gt_px = 0.5 * img_res * (gt_coco[:, :2] + 1.0)
+                gt_orig = transform_preds(gt_px, center[i], float(scale[i]), (img_res, img_res))
+                vis = (gt_coco[:, 2] > 0).astype(np.float64) * 2
+                box = float(scale[i]) * 200.0
+                gts_list.append({
+                    "image_id": img_id,
+                    "keypoints": np.concatenate([gt_orig, vis[:, None]], 1),
+                    "area": float(box * box),
+                    "bbox": [float(center[i][0] - box / 2), float(center[i][1] - box / 2), box, box],
+                })
 
+        n_done += coords.shape[0]
         if log_every and b % log_every == 0:
             print(f"coco eval batch {b}")
 
-    ap = keypoint_oks_ap(preds_list, gts_list)
+    if gt_json is not None:
+        gts_list = load_coco_gt(gt_json)
+
+    rescore_detections(detections)
+    ap = keypoint_oks_ap(detections, gts_list)
     return ap, np.stack(all_preds) if all_preds else np.zeros((0, 17, 3))

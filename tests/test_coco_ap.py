@@ -1,0 +1,327 @@
+"""COCO keypoint AP: the vectorized `keypoint_oks_ap` must match a direct,
+naive transcription of pycocotools COCOeval (iouType='keypoints') — the
+evaluator the reference calls at `datasets/coco_keypoint_dataset.py:430-443`.
+The oracle below follows cocoeval.py's computeOks/evaluateImg/accumulate/
+summarize step by step with id-based matching, as a golden reference only.
+"""
+
+import numpy as np
+
+from danet_densepose2smpl_tpu.eval.metrics import (
+    AREA_RNG,
+    COCO_KP_SIGMAS,
+    MAX_DETS,
+    OKS_THRS,
+    REC_THRS,
+    keypoint_oks_ap,
+    rescore_detections,
+)
+
+
+# --------------------------------------------------------------------------
+# Naive COCOeval transcription (golden oracle)
+# --------------------------------------------------------------------------
+
+def _oracle_compute_oks(dts, gts):
+    """cocoeval.py computeOks: rows = detections (score-sorted, truncated)."""
+    sigmas = COCO_KP_SIGMAS
+    var = (sigmas * 2) ** 2
+    k = len(sigmas)
+    ious = np.zeros((len(dts), len(gts)))
+    for j, gt in enumerate(gts):
+        g = np.asarray(gt["keypoints"], dtype=np.float64)
+        xg, yg, vg = g[:, 0], g[:, 1], g[:, 2]
+        k1 = np.count_nonzero(vg > 0)
+        bb = gt["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+        y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+        for i, dt in enumerate(dts):
+            d = np.asarray(dt["keypoints"], dtype=np.float64)
+            xd, yd = d[:, 0], d[:, 1]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:
+                z = np.zeros(k)
+                dx = np.max(np.stack([z, x0 - xd]), 0) + np.max(np.stack([z, xd - x1]), 0)
+                dy = np.max(np.stack([z, y0 - yd]), 0) + np.max(np.stack([z, yd - y1]), 0)
+            e = (dx ** 2 + dy ** 2) / var / (gt["area"] + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+    return ious
+
+
+def _oracle_evaluate_img(dts, gts, a_rng, ious):
+    """cocoeval.py evaluateImg with pycocotools' id-based bookkeeping."""
+    T = len(OKS_THRS)
+    for gid, g in enumerate(gts):
+        ig = g["ignore"] or g["area"] < a_rng[0] or g["area"] > a_rng[1]
+        g["_ignore"] = 1 if ig else 0
+        g["id"] = gid + 1
+    gtind = np.argsort([g["_ignore"] for g in gts], kind="mergesort")
+    gts = [gts[i] for i in gtind]
+    for did, d in enumerate(dts):
+        d["id"] = did + 1
+    ious = ious[:, gtind] if len(gts) else ious
+    iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
+    G, D = len(gts), len(dts)
+    gtm = np.zeros((T, G))
+    dtm = np.zeros((T, D))
+    gtIg = np.array([g["_ignore"] for g in gts])
+    dtIg = np.zeros((T, D))
+    if len(ious):
+        for tind, t in enumerate(OKS_THRS):
+            for dind, d in enumerate(dts):
+                iou = min(t, 1 - 1e-10)
+                m = -1
+                for gind, g in enumerate(gts):
+                    if gtm[tind, gind] > 0 and not iscrowd[gind]:
+                        continue
+                    if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
+                        break
+                    if ious[dind, gind] < iou:
+                        continue
+                    iou = ious[dind, gind]
+                    m = gind
+                if m == -1:
+                    continue
+                dtIg[tind, dind] = gtIg[m]
+                dtm[tind, dind] = gts[m]["id"]
+                gtm[tind, m] = d["id"]
+    a = np.array(
+        [d["area"] < a_rng[0] or d["area"] > a_rng[1] for d in dts]
+    ).reshape((1, D))
+    dtIg = np.logical_or(dtIg, np.logical_and(dtm == 0, np.repeat(a, T, 0)))
+    return {
+        "dtMatches": dtm,
+        "dtIgnore": dtIg,
+        "gtIgnore": gtIg,
+        "dtScores": [d["score"] for d in dts],
+    }
+
+
+def oracle_cocoeval(detections, ground_truths):
+    """Full COCOeval keypoints pipeline (evaluate + accumulate + summarize)."""
+    for g in ground_truths:
+        kp = np.asarray(g["keypoints"])
+        nkp = int(np.count_nonzero(kp[:, 2] > 0))
+        g["ignore"] = int(bool(g.get("iscrowd", 0)) or nkp == 0 or g.get("ignore", 0))
+    for d in detections:
+        kp = np.asarray(d["keypoints"], dtype=np.float64)
+        d.setdefault("area", float((kp[:, 0].max() - kp[:, 0].min()) * (kp[:, 1].max() - kp[:, 1].min())))
+
+    img_ids = sorted({g["image_id"] for g in ground_truths} | {d["image_id"] for d in detections})
+    T, R, A = len(OKS_THRS), len(REC_THRS), len(AREA_RNG)
+    precision = -np.ones((T, R, A))
+    recall = -np.ones((T, A))
+
+    per_img = {}
+    for i in img_ids:
+        dts = [d for d in detections if d["image_id"] == i]
+        gts = [dict(g) for g in ground_truths if g["image_id"] == i]
+        inds = np.argsort([-d["score"] for d in dts], kind="mergesort")
+        dts = [dts[j] for j in inds][:MAX_DETS]
+        per_img[i] = (dts, gts, _oracle_compute_oks(dts, gts))
+
+    for ai, (a_name, a_rng) in enumerate(AREA_RNG.items()):
+        E = []
+        for i in img_ids:
+            dts, gts, ious = per_img[i]
+            if not dts and not gts:
+                continue
+            E.append(_oracle_evaluate_img([dict(d) for d in dts], [dict(g) for g in gts], a_rng, ious))
+        if not E:
+            continue
+        dtScores = np.concatenate([e["dtScores"] for e in E])
+        inds = np.argsort(-dtScores, kind="mergesort")
+        dtm = np.concatenate([e["dtMatches"] for e in E], axis=1)[:, inds]
+        dtIg = np.concatenate([e["dtIgnore"] for e in E], axis=1)[:, inds]
+        gtIg = np.concatenate([e["gtIgnore"] for e in E])
+        npig = np.count_nonzero(gtIg == 0)
+        if npig == 0:
+            continue
+        tps = np.logical_and(dtm, np.logical_not(dtIg))
+        fps = np.logical_and(np.logical_not(dtm), np.logical_not(dtIg))
+        tp_sum = np.cumsum(tps, axis=1).astype(float)
+        fp_sum = np.cumsum(fps, axis=1).astype(float)
+        for t in range(T):
+            tp, fp = tp_sum[t], fp_sum[t]
+            nd = len(tp)
+            rc = tp / npig
+            pr = (tp / (fp + tp + np.spacing(1))).tolist()
+            recall[t, ai] = rc[-1] if nd else 0
+            q = np.zeros(R)
+            for i in range(nd - 1, 0, -1):
+                if pr[i] > pr[i - 1]:
+                    pr[i - 1] = pr[i]
+            pos = np.searchsorted(rc, REC_THRS, side="left")
+            for ri, pi in enumerate(pos):
+                try:
+                    q[ri] = pr[pi]
+                except IndexError:
+                    pass
+            precision[t, :, ai] = q
+
+    def _s(ai, thr=None, use_ar=False):
+        if use_ar:
+            arr = recall[:, ai]
+        else:
+            arr = precision[:, :, ai]
+        if thr is not None:
+            ti = int(np.argmin(np.abs(OKS_THRS - thr)))
+            arr = arr[ti]
+        valid = arr[arr > -1]
+        return float(valid.mean()) if valid.size else -1.0
+
+    return {
+        "AP": _s(0), "AP50": _s(0, 0.5), "AP75": _s(0, 0.75),
+        "APm": _s(1), "APl": _s(2),
+        "AR": _s(0, use_ar=True), "AR50": _s(0, 0.5, True), "AR75": _s(0, 0.75, True),
+        "ARm": _s(1, use_ar=True), "ARl": _s(2, use_ar=True),
+    }
+
+
+# --------------------------------------------------------------------------
+# Fixture generators
+# --------------------------------------------------------------------------
+
+def make_person(rng, center, box=90.0, vis=2):
+    kp = np.zeros((17, 3))
+    kp[:, :2] = center + rng.uniform(-box / 2, box / 2, (17, 2))
+    kp[:, 2] = vis
+    x0, y0 = kp[:, 0].min(), kp[:, 1].min()
+    bbox = [x0, y0, kp[:, 0].max() - x0, kp[:, 1].max() - y0]
+    return kp, bbox, float(bbox[2] * bbox[3])
+
+
+def make_fixture(rng, n_images=5, crowd=True, empties=True):
+    gts, dts = [], []
+    for img in range(n_images):
+        n_people = rng.randint(1, 4)
+        for p in range(n_people):
+            scale = rng.choice([40.0, 90.0, 200.0])  # spans M/L area ranges
+            kp, bbox, area = make_person(rng, rng.uniform(100, 900, 2), scale)
+            gts.append({"image_id": img, "keypoints": kp.copy(), "area": area, "bbox": bbox})
+            # detection: noisy copy, sometimes badly off, sometimes missing
+            kind = rng.rand()
+            if kind < 0.6:
+                noise = rng.randn(17, 2) * scale * 0.03
+            elif kind < 0.85:
+                noise = rng.randn(17, 2) * scale * 0.4
+            else:
+                continue
+            dkp = np.concatenate([kp[:, :2] + noise, np.ones((17, 1))], 1)
+            dts.append({"image_id": img, "keypoints": dkp, "score": float(rng.rand())})
+        # the occasional spurious detection
+        if rng.rand() < 0.5:
+            kp, _, _ = make_person(rng, rng.uniform(100, 900, 2), 60.0)
+            dts.append({"image_id": img, "keypoints": np.concatenate([kp[:, :2], np.ones((17, 1))], 1),
+                        "score": float(rng.rand())})
+        if crowd and rng.rand() < 0.4:
+            # crowd region with no labeled keypoints -> ignore region
+            kp = np.zeros((17, 3))
+            gts.append({"image_id": img, "keypoints": kp,
+                        "area": 300.0 * 300.0, "bbox": [200.0, 200.0, 300.0, 300.0],
+                        "iscrowd": 1})
+        if empties and rng.rand() < 0.4:
+            kp = np.zeros((17, 3))  # person annotated without keypoints
+            gts.append({"image_id": img, "keypoints": kp,
+                        "area": 50.0 * 80.0, "bbox": [400.0, 100.0, 50.0, 80.0]})
+    return dts, gts
+
+
+# --------------------------------------------------------------------------
+# Tests
+# --------------------------------------------------------------------------
+
+def test_matches_cocoeval_oracle_multi_person(rng):
+    """All 10 summarize stats agree with the COCOeval transcription on a
+    multi-person / crowd / area-mixed fixture, across several seeds."""
+    for seed in range(4):
+        r = np.random.RandomState(seed)
+        dts, gts = make_fixture(r)
+        got = keypoint_oks_ap([dict(d) for d in dts], [dict(g) for g in gts])
+        exp = oracle_cocoeval([dict(d) for d in dts], [dict(g) for g in gts])
+        for k in exp:
+            np.testing.assert_allclose(got[k], exp[k], atol=1e-6, err_msg=f"{k} seed={seed}")
+
+
+def test_perfect_predictions_ap1(rng):
+    gts, dts = [], []
+    for img in range(4):
+        for p in range(2):
+            kp, bbox, area = make_person(rng, rng.uniform(100, 900, 2), 120.0)
+            gts.append({"image_id": img, "keypoints": kp, "area": area, "bbox": bbox})
+            dts.append({"image_id": img,
+                        "keypoints": np.concatenate([kp[:, :2], np.ones((17, 1))], 1),
+                        "score": 0.9})
+    out = keypoint_oks_ap(dts, gts)
+    assert out["AP"] == 1.0 and out["AR"] == 1.0 and out["AP75"] == 1.0
+
+
+def test_wrong_image_grouping_is_penalized(rng):
+    """A detection in the wrong image must not match a GT elsewhere — the
+    failure mode of the old one-annotation-per-pseudo-image metric."""
+    kp, bbox, area = make_person(rng, np.array([300.0, 300.0]), 100.0)
+    gts = [{"image_id": 0, "keypoints": kp, "area": area, "bbox": bbox}]
+    dts = [{"image_id": 1,
+            "keypoints": np.concatenate([kp[:, :2], np.ones((17, 1))], 1), "score": 0.9}]
+    out = keypoint_oks_ap(dts, gts)
+    assert out["AP"] == 0.0
+
+
+def test_score_ordering_changes_ap(rng):
+    """AP must depend on detection score order (PR-curve semantics): ranking
+    a bad detection above a good one in the same image lowers AP."""
+    kp, bbox, area = make_person(rng, np.array([300.0, 300.0]), 100.0)
+    gts = [{"image_id": 0, "keypoints": kp, "area": area, "bbox": bbox}]
+    good = np.concatenate([kp[:, :2], np.ones((17, 1))], 1)
+    bad = np.concatenate([kp[:, :2] + 400.0, np.ones((17, 1))], 1)
+
+    def run(good_score, bad_score):
+        return keypoint_oks_ap(
+            [{"image_id": 0, "keypoints": good.copy(), "score": good_score},
+             {"image_id": 0, "keypoints": bad.copy(), "score": bad_score}],
+            [dict(g) for g in gts],
+        )["AP"]
+
+    assert run(0.9, 0.1) > run(0.1, 0.9)
+
+
+def test_crowd_region_absorbs_detections(rng):
+    """A detection matching only a crowd/ignore region is neither TP nor FP."""
+    kp, bbox, area = make_person(rng, np.array([300.0, 300.0]), 100.0)
+    gts = [
+        {"image_id": 0, "keypoints": kp, "area": area, "bbox": bbox},
+        {"image_id": 0, "keypoints": np.zeros((17, 3)),
+         "area": 200.0 * 200.0, "bbox": [600.0, 600.0, 200.0, 200.0], "iscrowd": 1},
+    ]
+    good = {"image_id": 0, "keypoints": np.concatenate([kp[:, :2], np.ones((17, 1))], 1),
+            "score": 0.9}
+    # detection inside the crowd box only
+    in_crowd = np.zeros((17, 3))
+    in_crowd[:, 0] = 700.0
+    in_crowd[:, 1] = 700.0
+    in_crowd[:, 2] = 1.0
+    crowd_dt = {"image_id": 0, "keypoints": in_crowd, "score": 0.8}
+
+    with_crowd_dt = keypoint_oks_ap([dict(good), crowd_dt], [dict(g) for g in gts])
+    without = keypoint_oks_ap([dict(good)], [dict(g) for g in gts])
+    assert with_crowd_dt["AP"] == without["AP"]
+    np.testing.assert_allclose(with_crowd_dt["AP"], 1.0, atol=1e-9)
+
+
+def test_rescore_matches_reference_formula(rng):
+    """score = mean(conf > 0.2) * box_score (coco_keypoint_dataset.py:316-340)."""
+    kps = np.zeros((17, 3))
+    kps[:, 2] = np.linspace(0.0, 1.0, 17)
+    dts = [{"image_id": 0, "keypoints": kps, "box_score": 0.5}]
+    rescore_detections(dts)
+    conf = kps[:, 2]
+    exp = conf[conf > 0.2].mean() * 0.5
+    np.testing.assert_allclose(dts[0]["score"], exp, rtol=1e-6)
+
+    # all-zero confidence -> score 0
+    dts = [{"image_id": 0, "keypoints": np.zeros((17, 3)), "box_score": 0.7}]
+    rescore_detections(dts)
+    assert dts[0]["score"] == 0.0

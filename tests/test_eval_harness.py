@@ -135,17 +135,111 @@ def test_oks_ap_perfect_and_shifted(rng):
     for i in range(6):
         kp = rng.uniform(50, 150, (17, 2))
         gt_kp = np.concatenate([kp, 2 * np.ones((17, 1))], 1)
-        gts.append([{"keypoints": gt_kp, "area": 90 * 90}])
-        preds_perfect.append([{"keypoints": np.concatenate([kp, np.ones((17, 1))], 1), "score": 0.9}])
-        preds_bad.append([{"keypoints": np.concatenate([kp + 500, np.ones((17, 1))], 1), "score": 0.9}])
-    perfect = keypoint_oks_ap(preds_perfect, gts)
-    bad = keypoint_oks_ap(preds_bad, gts)
+        x0, y0 = kp[:, 0].min(), kp[:, 1].min()
+        bbox = [x0, y0, kp[:, 0].max() - x0, kp[:, 1].max() - y0]
+        gts.append({"image_id": i, "keypoints": gt_kp, "area": 90 * 90, "bbox": bbox})
+        preds_perfect.append({"image_id": i, "keypoints": np.concatenate([kp, np.ones((17, 1))], 1), "score": 0.9})
+        preds_bad.append({"image_id": i, "keypoints": np.concatenate([kp + 500, np.ones((17, 1))], 1), "score": 0.9})
+    perfect = keypoint_oks_ap(preds_perfect, [dict(g) for g in gts])
+    bad = keypoint_oks_ap(preds_bad, [dict(g) for g in gts])
     assert perfect["AP"] > 0.99 and perfect["AP50"] > 0.99
     assert bad["AP"] < 0.01
     # mild noise: AP50 should exceed AP75
     preds_noisy = [
-        [{"keypoints": np.concatenate([np.asarray(g[0]["keypoints"])[:, :2] + rng.randn(17, 2) * 6, np.ones((17, 1))], 1), "score": 0.8}]
-        for g in gts
+        {"image_id": i, "keypoints": np.concatenate([np.asarray(g["keypoints"])[:, :2] + rng.randn(17, 2) * 6, np.ones((17, 1))], 1), "score": 0.8}
+        for i, g in enumerate(gts)
     ]
-    noisy = keypoint_oks_ap(preds_noisy, gts)
+    noisy = keypoint_oks_ap(preds_noisy, [dict(g) for g in gts])
     assert noisy["AP50"] >= noisy["AP75"]
+
+
+def test_face_parts_from_assets(tmp_path):
+    """cube_parts ingestion: per-face colors -> floor(100*rgb) -> cube lookup
+    (reference utils/part_utils.py:17-21, 28-37)."""
+    from danet_densepose2smpl_tpu.kernels.part_renderer import face_parts_from_assets
+
+    rng = np.random.RandomState(0)
+    f = 20
+    cube = rng.randint(0, 7, (101, 101, 101)).astype(np.float64)
+    colors = rng.rand(f, 3)
+    tex = colors.reshape(1, f, 1, 1, 1, 3)
+    np.save(tmp_path / "vertex_texture.npy", tex)
+    np.save(tmp_path / "cube_parts.npy", cube)
+
+    got = face_parts_from_assets(str(tmp_path / "vertex_texture.npy"), str(tmp_path / "cube_parts.npy"))
+    idx = np.floor(100 * colors).astype(int)
+    exp = cube[idx[:, 0], idx[:, 1], idx[:, 2]].astype(np.int32)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_lsp_eval_reads_gt_annotation_pngs(tmp_path, smpl, capsys):
+    """The LSP protocol path: maskname/partname PNGs under --annot_dir are
+    loaded and scored with the UP-3D accumulator semantics (255 = ignore),
+    not the rendered-GT fallback (reference eval.py:218-266)."""
+    import argparse
+
+    from danet_densepose2smpl_tpu.cli.eval import run_lsp_eval
+    from danet_densepose2smpl_tpu.core.config import Config, DaNetConfig
+    from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+    from danet_densepose2smpl_tpu.data.loader import ResumableLoader
+    from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+
+    npz, img_dir, annot_dir = write_synthetic_dataset(
+        str(tmp_path), n=4, with_lsp_masks=True
+    )
+    ds = NpzDataset(npz, img_dir, name="lsp", is_train=False, heatmap_size=16)
+    loader = ResumableLoader(ds, 2, shuffle=False, drop_last=False)
+    cfg = Config(danet=DaNetConfig(img_size=224))
+
+    mean_rot6d = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), 24)
+    from danet_densepose2smpl_tpu.ops.rotations import rot6d_to_rotmat
+
+    rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(mean_rot6d.reshape(24, 6)))).reshape(216)
+
+    def infer_fn(img):
+        b = img.shape[0]
+        para = np.concatenate([[0.9, 0.0, 0.0], np.zeros(10), rotmat]).astype(np.float32)
+        return jnp.tile(jnp.asarray(para)[None], (b, 1))
+
+    args = argparse.Namespace(
+        annot_dir=annot_dir, vertex_texture=None, cube_parts=None, log_freq=0
+    )
+    run_lsp_eval(args, cfg, None, infer_fn, smpl, ds, loader)
+    out = capsys.readouterr().out
+    assert "falling back" not in out
+    assert "Final Results" in out
+    # parseable, sane metric values
+    acc = float(out.split("Accuracy: ")[1].split()[0])
+    f1 = float(out.split("F1: ")[1].split()[0])
+    assert 0.0 <= acc <= 1.0 and 0.0 <= f1 <= 1.0
+
+
+def test_lsp_eval_fallback_is_loud(tmp_path, smpl, capsys):
+    """Without annotation archives the eval must say it is not the reference
+    protocol."""
+    import argparse
+
+    from danet_densepose2smpl_tpu.cli.eval import run_lsp_eval
+    from danet_densepose2smpl_tpu.core.config import Config, DaNetConfig
+    from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+    from danet_densepose2smpl_tpu.data.loader import ResumableLoader
+    from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+
+    npz, img_dir = write_synthetic_dataset(str(tmp_path), n=2)
+    ds = NpzDataset(npz, img_dir, name="lsp", is_train=False, heatmap_size=16)
+    loader = ResumableLoader(ds, 2, shuffle=False, drop_last=False)
+    cfg = Config(danet=DaNetConfig(img_size=224))
+
+    from danet_densepose2smpl_tpu.ops.rotations import rot6d_to_rotmat
+
+    mean_rot6d = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), 24)
+    rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(mean_rot6d.reshape(24, 6)))).reshape(216)
+
+    def infer_fn(img):
+        para = np.concatenate([[0.9, 0.0, 0.0], np.zeros(10), rotmat]).astype(np.float32)
+        return jnp.tile(jnp.asarray(para)[None], (img.shape[0], 1))
+
+    args = argparse.Namespace(annot_dir=None, vertex_texture=None, cube_parts=None, log_freq=0)
+    run_lsp_eval(args, cfg, None, infer_fn, smpl, ds, loader)
+    out = capsys.readouterr().out
+    assert "falling back" in out

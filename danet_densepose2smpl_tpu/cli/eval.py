@@ -31,6 +31,14 @@ def main(argv=None):
     p.add_argument("--num_samples", type=int, default=32, help="fixture dataset size")
     p.add_argument("--result_file", default=None, help="npz dump of predictions")
     p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--annot_dir", default=None,
+                   help="upi-s1h annotation root with the maskname/partname "
+                        "GT PNGs for the LSP protocol (reference "
+                        "path_config.DATASET_FOLDERS['upi-s1h'])")
+    p.add_argument("--vertex_texture", default=None,
+                   help="SPIN vertex_texture.npy (per-face render colors)")
+    p.add_argument("--cube_parts", default=None,
+                   help="SPIN cube_parts.npy (color->part lookup cube)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -52,9 +60,14 @@ def main(argv=None):
         from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
 
         tmp = tempfile.mkdtemp(prefix="danet_eval_")
-        args.npz, args.img_dir = write_synthetic_dataset(
-            tmp, n=args.num_samples, gendered=args.dataset == "3dpw"
-        )
+        if args.dataset == "lsp":
+            args.npz, args.img_dir, args.annot_dir = write_synthetic_dataset(
+                tmp, n=args.num_samples, with_lsp_masks=True
+            )
+        else:
+            args.npz, args.img_dir = write_synthetic_dataset(
+                tmp, n=args.num_samples, gendered=args.dataset == "3dpw"
+            )
         print(f"fixture dataset at {tmp}")
     if args.npz is None:
         raise SystemExit("--npz required (or --synthetic-data)")
@@ -107,45 +120,136 @@ def main(argv=None):
 
 def run_lsp_eval(args, cfg, model, infer_fn, smpl, ds, loader):
     """LSP silhouette/part segmentation accuracy + F1
-    (reference eval.py:218-266). GT masks come from maskname/partname
-    columns; without them, reports against the rendered GT-SMPL masks."""
+    (reference eval.py:218-266, UP-3D protocol).
+
+    GT comes from the upi-s1h annotation PNGs named by the dataset's
+    maskname/partname columns under --annot_dir (reference reads
+    `cv2.imread(annot_path/maskname, 0)`; parts use label 255 as ignore).
+    Without the archives it falls back — loudly — to scoring against
+    rendered GT-SMPL masks, which is a different (easier) metric.
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from danet_densepose2smpl_tpu.data.transforms import uncrop
-    from danet_densepose2smpl_tpu.eval.metrics import SegmentationScores
-    from danet_densepose2smpl_tpu.kernels.part_renderer import PartRenderer
+    from danet_densepose2smpl_tpu.kernels.part_renderer import (
+        PartRenderer,
+        face_parts_from_assets,
+    )
     from danet_densepose2smpl_tpu.smpl import smpl_forward, smpl_forward_aa
 
-    renderer = PartRenderer(smpl, img_size=cfg.danet.img_size)
-    mask_scores = SegmentationScores(2)
-    part_scores = SegmentationScores(7)
+    face_parts = None
+    if getattr(args, "vertex_texture", None) and getattr(args, "cube_parts", None):
+        face_parts = face_parts_from_assets(args.vertex_texture, args.cube_parts)
+        print("part labels: original cube_parts lookup")
+    else:
+        print("WARNING: --vertex_texture/--cube_parts not given; using "
+              "LBS-argmax part labels (part boundaries differ from the "
+              "reference's cube_parts.npy lookup)")
+    renderer = PartRenderer(smpl, img_size=cfg.danet.img_size, face_parts=face_parts)
+
+    annot_dir = getattr(args, "annot_dir", None)
+    have_gt_masks = (
+        annot_dir is not None
+        and ds.maskname is not None
+        and ds.partname is not None
+    )
+    if not have_gt_masks:
+        print("WARNING: no --annot_dir / maskname+partname columns — falling "
+              "back to rendered GT-SMPL masks. This is NOT the reference's "
+              "LSP protocol; numbers are not comparable to eval.py.")
+
+    # reference accumulators (eval.py:101-112)
+    accuracy = 0.0
+    pixel_count = 0
+    tp = np.zeros((2, 1))
+    fp = np.zeros((2, 1))
+    fn = np.zeros((2, 1))
+    parts_accuracy = 0.0
+    parts_pixel_count = 0
+    parts_tp = np.zeros((7, 1))
+    parts_fp = np.zeros((7, 1))
+    parts_fn = np.zeros((7, 1))
 
     @jax.jit
-    def step(img, gt_pose, gt_betas):
+    def step(img):
         para = infer_fn(img)
         out = smpl_forward(smpl, para[:, 3:13], para[:, 13:].reshape(-1, 24, 3, 3))
         mask, parts = renderer(out.vertices, para[:, :3])
+        return mask, parts
+
+    @jax.jit
+    def gt_render_step(img, gt_pose, gt_betas, cam):
         gt_out = smpl_forward_aa(smpl, gt_betas, gt_pose)
-        gt_mask, gt_parts = renderer(gt_out.vertices, para[:, :3])
-        return mask, parts, gt_mask, gt_parts
+        return renderer(gt_out.vertices, cam)
+
+    def load_gray(path):
+        import cv2
+
+        img = cv2.imread(path, 0)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
 
     for b, batch in loader.epoch(0):
-        mask, parts, gt_mask, gt_parts = step(
-            jnp.asarray(batch["img"]), jnp.asarray(batch["pose"]), jnp.asarray(batch["betas"])
-        )
+        mask, parts = step(jnp.asarray(batch["img"]))
+        if not have_gt_masks:
+            para = np.asarray(infer_fn(jnp.asarray(batch["img"])))
+            gt_mask_r, gt_parts_r = gt_render_step(
+                jnp.asarray(batch["img"]), jnp.asarray(batch["pose"]),
+                jnp.asarray(batch["betas"]), jnp.asarray(para[:, :3]),
+            )
         for i in range(np.asarray(mask).shape[0]):
             center, scale = batch["center"][i], float(batch["scale"][i])
-            orig = batch["orig_shape"][i]
-            pm = uncrop(np.asarray(mask[i]).astype(np.uint8), center, scale, tuple(orig)) > 0
-            gm = uncrop(np.asarray(gt_mask[i]).astype(np.uint8), center, scale, tuple(orig)) > 0
-            pp = uncrop(np.asarray(parts[i]).astype(np.uint8), center, scale, tuple(orig))
-            gp = uncrop(np.asarray(gt_parts[i]).astype(np.uint8), center, scale, tuple(orig))
-            mask_scores.update(pm.astype(int), gm.astype(int))
-            part_scores.update(pp, gp)
+            orig = tuple(batch["orig_shape"][i])
+            pred_mask = uncrop(np.asarray(mask[i]).astype(np.uint8), center, scale, orig) > 0
+            pred_parts = uncrop(np.asarray(parts[i]).astype(np.uint8), center, scale, orig)
 
-    print(f"mask accuracy: {mask_scores.accuracy:.4f}  F1: {mask_scores.f1.mean():.4f}")
-    print(f"parts accuracy: {part_scores.accuracy:.4f}  F1(fg): {part_scores.f1[1:].mean():.4f}")
+            if have_gt_masks:
+                gt_mask = load_gray(os.path.join(annot_dir, batch["maskname"][i])) > 0
+                gt_parts = load_gray(os.path.join(annot_dir, batch["partname"][i]))
+            else:
+                gt_mask = uncrop(np.asarray(gt_mask_r[i]).astype(np.uint8), center, scale, orig) > 0
+                gt_parts = uncrop(np.asarray(gt_parts_r[i]).astype(np.uint8), center, scale, orig)
+
+            # mask eval (reference eval.py:232-243), UP-3D-consistent
+            accuracy += (gt_mask == pred_mask).sum()
+            pixel_count += np.prod(np.array(gt_mask.shape))
+            for c in range(2):
+                cgt = gt_mask == c
+                cpred = pred_mask == c
+                tp[c] += (cgt & cpred).sum()
+                fp[c] += (~cgt & cpred).sum()
+                fn[c] += (cgt & ~cpred).sum()
+
+            # parts eval with 255-ignore (reference eval.py:252-266)
+            gt_parts = gt_parts.copy()
+            pred_parts = pred_parts.copy()
+            for c in range(7):
+                cgt = gt_parts == c
+                cpred = pred_parts == c
+                cpred[gt_parts == 255] = 0
+                parts_tp[c] += (cgt & cpred).sum()
+                parts_fp[c] += (~cgt & cpred).sum()
+                parts_fn[c] += (cgt & ~cpred).sum()
+            gt_parts[gt_parts == 255] = 0
+            pred_parts[pred_parts == 255] = 0
+            parts_accuracy += (gt_parts == pred_parts).sum()
+            parts_pixel_count += np.prod(np.array(gt_parts.shape))
+
+        if args.log_freq and b % args.log_freq == args.log_freq - 1:
+            f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
+            print(f"batch {b}: accuracy {accuracy / max(pixel_count, 1):.4f}  F1 {f1.mean():.4f}")
+
+    f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
+    parts_f1 = 2 * parts_tp / np.maximum(2 * parts_tp + parts_fp + parts_fn, 1)
+    print("*** Final Results ***")
+    print(f"Accuracy: {accuracy / max(pixel_count, 1):.6f}")
+    print(f"F1: {f1.mean():.6f}")
+    print(f"Parts Accuracy: {parts_accuracy / max(parts_pixel_count, 1):.6f}")
+    print(f"Parts F1 (BG): {parts_f1.mean():.6f}")
 
 
 if __name__ == "__main__":

@@ -76,6 +76,7 @@ def write_synthetic_dataset(
     with_pose3d: bool = True,
     with_dp: bool = False,
     gendered: bool = False,
+    with_lsp_masks: bool = False,
 ):
     """Write a SPIN-format npz + JPEG images fixture dataset to `out_dir`.
 
@@ -146,6 +147,30 @@ def write_synthetic_dataset(
             [rng.uniform(60, img_size - 60, (n, 24, 2)), np.ones((n, 24, 1))], -1
         )
 
+    if with_lsp_masks:
+        # upi-s1h-style GT annotation PNGs (reference eval.py:232,252):
+        # maskname -> binary silhouette, partname -> 0..6 labels with a
+        # 255-ignore border
+        annot_dir = os.path.join(out_dir, "annots")
+        os.makedirs(annot_dir, exist_ok=True)
+        masknames, partnames = [], []
+        for i, name in enumerate(names):
+            m = np.zeros((img_size, img_size), np.uint8)
+            y0, x0 = rng.randint(40, 120, 2)
+            m[y0 : y0 + 100, x0 : x0 + 100] = 1
+            pth = np.zeros((img_size, img_size), np.uint8)
+            pth[m > 0] = rng.randint(1, 7, (m > 0).sum())
+            pth[y0 : y0 + 4] = 255  # ignore strip
+            mn, pn = f"mask_{i:04d}.png", f"part_{i:04d}.png"
+            cv2.imwrite(os.path.join(annot_dir, mn), m * 255)
+            cv2.imwrite(os.path.join(annot_dir, pn), pth)
+            masknames.append(mn)
+            partnames.append(pn)
+        cols["maskname"] = np.array(masknames)
+        cols["partname"] = np.array(partnames)
+
     npz_path = os.path.join(out_dir, "labels.npz")
     np.savez(npz_path, **cols)
+    if with_lsp_masks:
+        return npz_path, img_dir, annot_dir
     return npz_path, img_dir

@@ -29,6 +29,21 @@ def vertex_parts_from_lbs(model: SMPLModel) -> np.ndarray:
     return JOINT_TO_PART6[model.lbs_weights.argmax(axis=1)]
 
 
+def face_parts_from_assets(vertex_texture_file: str, cube_parts_file: str) -> np.ndarray:
+    """(F,) part labels from the original SPIN assets — exact reference
+    semantics (`utils/part_utils.py:17-21, 28-37`): the renderer paints each
+    face with its constant RGB from vertex_texture.npy; `get_parts` then maps
+    floor(100 * rgb) through the cube_parts.npy color->part lookup. Since the
+    textures are per-face constants (shape (1, F, 1, 1, 1, 3)), looking the
+    face color up directly yields the identical per-pixel labels."""
+    tex = np.load(vertex_texture_file)
+    cube = np.load(cube_parts_file)
+    face_rgb = tex.reshape(tex.shape[1], -1, 3)[:, 0, :]       # (F, 3)
+    idx = np.floor(100.0 * face_rgb).astype(np.int64)
+    idx = np.clip(idx, 0, np.array(cube.shape[:3]) - 1)
+    return cube[idx[:, 0], idx[:, 1], idx[:, 2]].astype(np.int32)
+
+
 class PartRenderer:
     def __init__(
         self,
@@ -37,12 +52,19 @@ class PartRenderer:
         img_size: int = 224,
         focal_length: float = FOCAL_LENGTH,
         chunk: int = 2048,
+        face_parts: np.ndarray | None = None,
     ):
+        """`face_parts` (from `face_parts_from_assets`, the exact reference
+        labels) takes precedence; else per-vertex labels (`vertex_parts` or
+        the LBS-argmax fallback) are broadcast to faces."""
         self.img_size = img_size
         self.focal_length = focal_length
         self.chunk = chunk
-        parts = vertex_parts if vertex_parts is not None else vertex_parts_from_lbs(model)
-        face_part = parts[model.faces[:, 0]].astype(np.float32)
+        if face_parts is not None:
+            face_part = np.asarray(face_parts, dtype=np.float32)
+        else:
+            parts = vertex_parts if vertex_parts is not None else vertex_parts_from_lbs(model)
+            face_part = parts[model.faces[:, 0]].astype(np.float32)
         self._faces = jnp.asarray(model.faces)
         self._face_tex = jnp.asarray(
             np.stack([np.ones_like(face_part), face_part], axis=1)

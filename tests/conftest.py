@@ -19,6 +19,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy compile/CPU tests (full backbones, multi-device steps); "
+        "deselect with `-m 'not slow'` for a <5 min fast suite on 1 CPU",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -80,6 +80,7 @@ def test_clean_part_stacks_onehot(rng):
     np.testing.assert_array_equal(idx.argmax(-1), np.asarray(part[..., 2, :]).argmax(-1))
 
 
+@pytest.mark.slow
 def test_decomposed_predictor_shapes(rng):
     cfg = small_cfg()
     m = DecomposedPredictor(cfg, default_mean_params(), train=False)
@@ -151,6 +152,7 @@ def test_danet_pretrain_mode_skips_regressor(danet_setup):
     assert "para" not in out and "iuv_clean" in out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["lstm", "lstm_direct", "gcn_direct"])
 def test_refine_strategy_variants(strategy, rng):
     cfg = small_cfg(refine_strategy=strategy)
@@ -171,6 +173,7 @@ def test_refine_strategy_variants(strategy, rng):
     assert jax.tree.structure(v["params"]) == jax.tree.structure(ve["params"])
 
 
+@pytest.mark.slow
 def test_iuv_gt_oracle_mode(rng):
     """'iuv_gt' input mode: GT IUV maps drive the regressor; the learned STN
     ratio/offset receive gradients (reference iuv_estimator.py:26-28)."""

@@ -298,6 +298,7 @@ def test_full_hrnet_conversion(rng):
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backbone", ["hrnet", "resnet"])
 def test_danet_full_map_structural(backbone, rng):
     """The complete DaNet checkpoint map covers every flax parameter and

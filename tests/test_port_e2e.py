@@ -1,0 +1,114 @@
+"""End-to-end checkpoint-port proof (VERDICT r1 item #1).
+
+Composes the full reference-topology torch DaNet twin (tests/torch_twin.py),
+converts its complete state_dict through `port/danet_map.danet_rules`, and
+asserts the flax DaNet reproduces the twin's 229-dim `para` output on random
+images — one test that fails if any conversion rule or any module's forward
+semantics drift.
+
+Both sides run in float64 so the comparison isolates conversion/semantics
+from cross-framework f32 conv noise (which would flip iuvmap argmaxes);
+a float32 run at the 1e-3 bar covers the production dtype.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from danet_densepose2smpl_tpu.core.config import DaNetConfig
+from danet_densepose2smpl_tpu.models.iuv_estimator import LEARNED_OFFSET, LEARNED_RATIO
+from danet_densepose2smpl_tpu.models.smpl_regressor import default_mean_params
+from danet_densepose2smpl_tpu.port import apply_rules
+from danet_densepose2smpl_tpu.port.danet_map import danet_rules
+
+from torch_twin import TorchDaNet, randomize_twin
+
+# constant buffers present in a reference checkpoint but not ported (they are
+# tables the flax side recomputes; reference saver also keeps them)
+CONST_BUFFERS = {
+    "iuv2smpl.smpl_para_Outs.mean_cam_shape",
+    "iuv2smpl.smpl_para_Outs.mean_pose",
+    "iuv2smpl.smpl_para_Outs.I_n",
+    "iuv2smpl.smpl_para_Outs.A_mask",
+    "iuv2smpl.smpl_para_Outs.A_link",
+    "iuv2smpl.smpl_para_Outs.A",
+    "iuv2smpl.smpl_para_Outs.r2p_A",
+    "iuv2smpl.smpl_para_Outs.p2r_A",
+}
+
+
+def _run_e2e(backbone, x64, atol, seed=0, batch=2, size=224, rtol=0.0):
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.models.danet import DaNet
+
+    mp = default_mean_params()
+    cfg_kw = {"iuv_regressor": backbone}
+    if backbone == "resnet":
+        cfg_kw["msres_num_layers"] = 18
+    cfg = DaNetConfig(**cfg_kw)
+
+    from danet_densepose2smpl_tpu.nn.hrnet import HRNET_W48_STAGES
+
+    twin = TorchDaNet(
+        backbone, mp, LEARNED_RATIO, LEARNED_OFFSET,
+        hrnet_stages=HRNET_W48_STAGES, msres_num_layers=18,
+        part_vis_thresh=cfg.stn_part_vis_score,
+    )
+    randomize_twin(twin, seed=seed)
+    twin.eval()
+
+    rng = np.random.RandomState(seed + 100)
+    x = rng.rand(batch, size, size, 3).astype(np.float32)
+
+    if x64:
+        twin = twin.double()
+        xt = torch.from_numpy(np.moveaxis(x, -1, 1).copy()).double()
+    else:
+        xt = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    exp = twin.infer_net(xt).numpy()
+
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    rules = danet_rules(cfg)
+
+    model = DaNet(cfg, mean_params=mp, train=False)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, size, size, 3), jnp.float32))
+    new_vars, report = apply_rules(sd, variables, rules, strict=True)
+    leftovers = set(report["unconsumed_torch_keys"]) - CONST_BUFFERS
+    assert not leftovers, sorted(leftovers)[:8]
+    assert not report["unfilled_params"]
+
+    dt = jnp.float64 if x64 else jnp.float32
+    new_vars = jax.tree.map(lambda a: jnp.asarray(a, dt), new_vars)
+    out = np.asarray(model.apply(new_vars, jnp.asarray(x, dt))["para"])
+
+    assert out.shape == exp.shape == (batch, 229)
+    np.testing.assert_allclose(out, exp, atol=atol, rtol=rtol)
+
+
+@pytest.fixture
+def x64_mode():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def test_e2e_port_resnet_f64(x64_mode):
+    """ResNet-backbone DaNet: converted twin reproduces para exactly
+    (float64 isolates the conversion from framework conv noise)."""
+    _run_e2e("resnet", x64=True, atol=1e-6)
+
+
+def test_e2e_port_resnet_f32():
+    """Production dtype: <=1e-3 agreement on the 229-dim output. Random twin
+    weights produce O(1e5) activations, so the bar is relative (the f64 test
+    above pins exactness; this one pins f32 cross-framework noise)."""
+    _run_e2e("resnet", x64=False, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_e2e_port_hrnet_w48_f64(x64_mode):
+    """Full HRNet-W48 DaNet (released-checkpoint topology), float64."""
+    _run_e2e("hrnet", x64=True, atol=1e-6, batch=1)

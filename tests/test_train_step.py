@@ -43,6 +43,7 @@ def test_lr_schedule():
     assert float(sched(60001)) == pytest.approx(1e-6)
 
 
+@pytest.mark.slow
 def test_single_device_step(setup):
     cfg, model, smpl, batch, state = setup
     step = make_train_step(model, smpl, cfg, donate=False)
@@ -55,6 +56,7 @@ def test_single_device_step(setup):
     assert max(jax.tree.leaves(delta)) > 0
 
 
+@pytest.mark.slow
 def test_pretrain_mode_step(setup):
     cfg, model, smpl, batch, state = setup
     step = make_train_step(model, smpl, cfg, pretrain_mode=True, donate=False)
@@ -64,6 +66,7 @@ def test_pretrain_mode_step(setup):
     assert np.isfinite(float(metrics["loss_total"]))
 
 
+@pytest.mark.slow
 def test_multi_device_step_matches_single(setup):
     cfg, model, smpl, batch, state = setup
     assert jax.device_count() == 8, "conftest must set 8 virtual CPU devices"
@@ -81,6 +84,7 @@ def test_multi_device_step_matches_single(setup):
     )
 
 
+@pytest.mark.slow
 def test_masked_out_batch_is_finite(setup):
     """All validity masks zero -> losses are zeros, grads finite (the NaN
     trap of fixed-shape masked batches)."""
@@ -95,6 +99,7 @@ def test_masked_out_batch_is_finite(setup):
     assert np.isfinite(gmax)
 
 
+@pytest.mark.slow
 def test_cast_float_tree_bf16(setup):
     import jax.numpy as jnp
 

@@ -55,6 +55,7 @@ class Resized:
         return item
 
 
+@pytest.mark.slow
 def test_trainer_two_stage_and_resume(setup):
     d, cfg, ds, smpl, renderer, fits = setup
     fits = FitsDict.from_datasets({"synth": Resized(ds, 64)})

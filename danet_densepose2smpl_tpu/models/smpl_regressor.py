@@ -129,8 +129,11 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x, init=None):
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features), return_carry=True, name="fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features), return_carry=True, name="bwd")
+        # carry dtype must follow the activation dtype (f64 parity runs)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features, param_dtype=x.dtype),
+                     return_carry=True, name="fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features, param_dtype=x.dtype),
+                     return_carry=True, name="bwd")
         if init is not None:
             cf, yf = fwd(x, initial_carry=init[0])
             cb, yb = bwd(x[:, ::-1], initial_carry=init[1])
@@ -345,8 +348,11 @@ class DecomposedPredictor(nn.Module):
                 chain = LSTM_CHAINS[br]
                 y, _ = cell(jnp.stack([pos[i] for i in chain], axis=1), init=init)
                 for t, ind in enumerate(chain):
-                    if ind in (0, 9) and br != 0:
-                        continue  # anchor joints keep the trunk output
+                    # the reference skips only joint 0 (smpl_regressor.py:
+                    # 815-817); joint 9 heads chains 2 AND 3, so its refined
+                    # feature is overwritten — chain 3's output wins
+                    if ind == 0 and br != 0:
+                        continue
                     refined[ind] = y[:, t]
 
             # residual update in the doubled (bi-directional) width

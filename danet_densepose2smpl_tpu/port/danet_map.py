@@ -84,6 +84,69 @@ def grouped_head_rules(tpre: str, fpath: tuple) -> list:
     ]
 
 
+def mlp1x1_rules(tpre: str, fpath: tuple) -> list:
+    """rot2pos / pos2rot torch Sequential(conv1x1, bn, relu, conv1x1, bn,
+    relu) (reference smpl_regressor.py:536-558) -> flax MLP1x1."""
+    rules = conv_rules(f"{tpre}.0", fpath + ("Conv_0",), bias=True)
+    rules += bn_rules(f"{tpre}.1", fpath + ("NormAct_0", "norm"))
+    rules += conv_rules(f"{tpre}.3", fpath + ("Conv_1",), bias=True)
+    rules += bn_rules(f"{tpre}.4", fpath + ("NormAct_1", "norm"))
+    return rules
+
+
+def _lstm_gate_w(k: int):
+    """Gate k slice of a torch LSTM weight (4H, D), transposed to (D, H).
+    Torch and flax share the i, f, g, o gate order."""
+
+    def t(w):
+        w = np.asarray(w)
+        h = w.shape[0] // 4
+        return np.transpose(w[k * h : (k + 1) * h], (1, 0))
+
+    return t
+
+
+def _lstm_gate_b(k: int):
+    def t(b):
+        b = np.asarray(b)
+        h = b.shape[0] // 4
+        return b[k * h : (k + 1) * h]
+
+    return t
+
+
+def fuse_lstm_biases(sd: dict) -> dict:
+    """Torch LSTMs carry two bias vectors per direction (b_ih + b_hh, always
+    summed); flax OptimizedLSTMCell has one (on the recurrent dense). Fuse
+    them so each flax bias maps to exactly one torch-side key."""
+    out = dict(sd)
+    for k in list(sd):
+        if ".bias_ih_l0" in k:
+            hh = k.replace("bias_ih", "bias_hh")
+            out[k.replace("bias_ih", "bias")] = np.asarray(sd[k]) + np.asarray(sd[hh])
+            del out[k]
+            del out[hh]
+    return out
+
+
+def lstm_rules(tpre: str, fpath: tuple) -> list:
+    """One torch bidirectional nn.LSTM (num_layers=1, batch_first) -> flax
+    BiLSTM (fwd/bwd OptimizedLSTMCells). Expects biases pre-fused by
+    `fuse_lstm_biases` ({tpre}.bias_l0[_reverse])."""
+    rules = []
+    # BiLSTM constructs the fwd cell first, then the bwd cell, so flax
+    # auto-names them OptimizedLSTMCell_0 (fwd) and _1 (bwd)
+    for direction, sfx in (("OptimizedLSTMCell_0", ""), ("OptimizedLSTMCell_1", "_reverse")):
+        cell = fpath + (direction,)
+        for k, g in enumerate("ifgo"):
+            rules += [
+                (f"{tpre}.weight_ih_l0{sfx}", ("params",) + cell + (f"i{g}", "kernel"), _lstm_gate_w(k)),
+                (f"{tpre}.weight_hh_l0{sfx}", ("params",) + cell + (f"h{g}", "kernel"), _lstm_gate_w(k)),
+                (f"{tpre}.bias_l0{sfx}", ("params",) + cell + (f"h{g}", "bias"), _lstm_gate_b(k)),
+            ]
+    return rules
+
+
 def danet_rules(cfg: DaNetConfig) -> list:
     """The complete released-checkpoint map for the default 'gcn' DaNet."""
     rules = []
@@ -123,17 +186,48 @@ def danet_rules(cfg: DaNetConfig) -> list:
     )
 
     r = cfg.refinement
-    rules += gcn_rules(f"{rpre}.r2p_gcn", rpath + ("r2p_gcn",), 1)
-    rules += gcn_rules(f"{rpre}.refine_gcn", rpath + ("refine_gcn",), r.gcn_num_layer)
-    rules += gcn_rules(f"{rpre}.p2r_gcn", rpath + ("p2r_gcn",), 1)
-    rules += [
-        (f"{rpre}.edge_importance", ("params",) + rpath + ("edge_importance",),
-         lambda w: np.asarray(w).reshape(24, 24)),
-    ]
-    rules += grouped_head_rules(f"{rpre}.pose_regressors.0", rpath + ("pose_regressor_0",))
-    rules += grouped_head_rules(f"{rpre}.pose_regressors.1", rpath + ("pose_regressor_1",))
-    rules += grouped_head_rules(f"{rpre}.coord_regressors.0", rpath + ("coord_regressor_0",))
-    rules += grouped_head_rules(f"{rpre}.coord_regressors.1", rpath + ("coord_regressor_1",))
+    if cfg.refine_strategy in ("gcn", "gcn_direct"):
+        if cfg.refine_strategy == "gcn":
+            rules += gcn_rules(f"{rpre}.r2p_gcn", rpath + ("r2p_gcn",), 1)
+            rules += gcn_rules(f"{rpre}.p2r_gcn", rpath + ("p2r_gcn",), 1)
+        rules += gcn_rules(f"{rpre}.refine_gcn", rpath + ("refine_gcn",), r.gcn_num_layer)
+        rules += [
+            (f"{rpre}.edge_importance", ("params",) + rpath + ("edge_importance",),
+             lambda w: np.asarray(w).reshape(24, 24)),
+        ]
+        rules += grouped_head_rules(f"{rpre}.pose_regressors.0", rpath + ("pose_regressor_0",))
+        rules += grouped_head_rules(f"{rpre}.pose_regressors.1", rpath + ("pose_regressor_1",))
+        if cfg.refine_strategy == "gcn":
+            rules += grouped_head_rules(f"{rpre}.coord_regressors.0", rpath + ("coord_regressor_0",))
+            rules += grouped_head_rules(f"{rpre}.coord_regressors.1", rpath + ("coord_regressor_1",))
+    elif cfg.refine_strategy == "lstm":
+        # reference smpl_regressor.py:528-580: per-stack rot2pos MLPs (all 24
+        # joints), 5 Bi-LSTMs, one shared pos2rot, grouped pose/coord heads
+        rules += grouped_head_rules(f"{rpre}.pose_regressors.0", rpath + ("pose_regressor_0",))
+        for s in range(r.stack_num):
+            for j in range(5):
+                rules += lstm_rules(
+                    f"{rpre}.limb_lstm.{s}.{j}", rpath + (f"lstm_{s}_{j}",)
+                )
+            for ind in range(24):
+                rules += mlp1x1_rules(
+                    f"{rpre}.rot2pos.{s}.{ind}", rpath + (f"rot2pos_{s}_{ind}",)
+                )
+            rules += mlp1x1_rules(f"{rpre}.pos2rot.{s}", rpath + (f"pos2rot_{s}",))
+            rules += grouped_head_rules(
+                f"{rpre}.pose_regressors.{s + 1}", rpath + (f"pose_regressor_{s + 1}",)
+            )
+            rules += grouped_head_rules(
+                f"{rpre}.coord_regressors.{s}", rpath + (f"coord_regressor_{s}_pre",)
+            )
+            rules += grouped_head_rules(
+                f"{rpre}.coord_regressors.{s + 1}", rpath + (f"coord_regressor_{s}_post",)
+            )
+    else:
+        raise NotImplementedError(
+            "checkpoint map for refine_strategy 'lstm_direct' is not wired "
+            "(no released checkpoints use it)"
+        )
     return rules
 
 
@@ -193,6 +287,8 @@ def _probe_inverse(transform, out_shape):
         (out_shape[0] * out_shape[-1], out_shape[1], 1, 1) if len(out_shape) == 3 else None,  # grouped kernel
         (out_shape[0] * out_shape[-1],) if len(out_shape) == 2 else None,                      # grouped bias
         (1,) + out_shape if len(out_shape) == 2 else None,                                     # edge importance (1,24,24)
+        (4 * out_shape[1], out_shape[0]) if len(out_shape) == 2 else None,                     # lstm gate weight slice
+        (4 * out_shape[0],) if len(out_shape) == 1 else None,                                  # lstm gate bias slice
     ]
     for cand in candidates:
         if cand is None:
@@ -221,6 +317,7 @@ def load_danet_checkpoint(pt_path: str, cfg: DaNetConfig, variables: dict, stric
         (k[7:] if k.startswith("module.") else k): v.numpy() if hasattr(v, "numpy") else np.asarray(v)
         for k, v in sd.items()
     }
+    sd = fuse_lstm_biases(sd)
     return apply_rules(sd, variables, danet_rules(cfg), strict=strict)
 
 

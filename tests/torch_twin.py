@@ -538,6 +538,119 @@ class TDecomposedPredictor(tnn.Module):
         return {"para": torch.cat([global_para, smpl_pose], dim=1)}
 
 
+LIMB_BRANCH = [[0, 3, 6, 9, 12, 15], [13, 16, 18, 20, 22], [14, 17, 19, 21, 23],
+               [1, 4, 7, 10], [2, 5, 8, 11]]
+LIMB_BRANCH_LSTM = [[0, 3, 6, 9], [12, 15], [9, 13, 16, 18, 20, 22],
+                    [9, 14, 17, 19, 21, 23], [0, 1, 4, 7, 10], [0, 2, 5, 8, 11]]
+
+
+def _mlp1x1(cin, hidden, cout):
+    return tnn.Sequential(
+        tnn.Conv2d(cin, hidden, 1), tnn.BatchNorm2d(hidden), tnn.ReLU(True),
+        tnn.Conv2d(hidden, cout, 1), tnn.BatchNorm2d(cout), tnn.ReLU(True),
+    )
+
+
+class TDecomposedPredictorLSTM(tnn.Module):
+    """smpl_regressor.py 'lstm' strategy (init :528-580, forward :771-845),
+    eval path: rot2pos kinematic sweep -> Bi-LSTM chains with the trunk's
+    hidden-state handoff -> (parent, self, child) pos2rot -> grouped head."""
+
+    def __init__(self, mean_cam_shape, mean_pose, glo_num_layers=18, limb_num_layers=18,
+                 feat_dim=128, stack_num=1):
+        super().__init__()
+        self.stack_num = stack_num
+        self.register_buffer("mean_cam_shape", torch.as_tensor(mean_cam_shape).reshape(1, 13))
+        self.register_buffer("mean_pose", torch.as_tensor(mean_pose).reshape(1, 144))
+        self.body_net = tnn.Sequential(
+            tnn.Conv2d(75, 64, 1, bias=False), tnn.BatchNorm2d(64), tnn.ReLU(True),
+            TSmplResNet(glo_num_layers, in_channels=64, num_classes=13),
+        )
+        self.limb_net = tnn.Sequential(
+            tnn.Conv2d(21, 64, 1, bias=False), tnn.BatchNorm2d(64), tnn.ReLU(True),
+            TSmplResNet(limb_num_layers, in_channels=64, num_classes=0, truncate=1),
+        )
+        self.limb_reslayer = TLimbResLayers(limb_num_layers, inplanes=256,
+                                            outplanes=feat_dim, groups=24)
+        self.limb_lstm = tnn.ModuleList()
+        self.rot2pos = tnn.ModuleList()
+        self.pos2rot = tnn.ModuleList()
+        for _ in range(stack_num):
+            self.limb_lstm.append(tnn.ModuleList([
+                tnn.LSTM(feat_dim, feat_dim, num_layers=1, batch_first=True,
+                         bidirectional=True) for _ in range(5)
+            ]))
+            self.rot2pos.append(tnn.ModuleList(
+                [_mlp1x1(2 * feat_dim, 512, feat_dim) for _ in range(24)]
+            ))
+            self.pos2rot.append(_mlp1x1(feat_dim * 2 * 3, 1024, feat_dim))
+        self.coord_regressors = tnn.ModuleList([tnn.Sequential(
+            tnn.AdaptiveAvgPool2d(1), tnn.Conv2d(feat_dim * 24, 3 * 24, 1, groups=24))])
+        for _ in range(stack_num):
+            self.coord_regressors.append(tnn.Sequential(
+                tnn.AdaptiveAvgPool2d(1), tnn.Conv2d(feat_dim * 2 * 24, 3 * 24, 1, groups=24)))
+        self.pose_regressors = tnn.ModuleList([
+            tnn.Sequential(tnn.AdaptiveAvgPool2d(1),
+                           tnn.Conv2d(feat_dim * 24, 6 * 24, 1, groups=24))
+            for _ in range(1 + stack_num)
+        ])
+
+    def forward(self, body_iuv, limb_iuv):
+        nbs = body_iuv.size(0)
+        global_para, _ = self.body_net(body_iuv)
+        global_para = global_para + self.mean_cam_shape
+
+        s = limb_iuv.size(-1)
+        _, limb_feat = self.limb_net(limb_iuv.reshape(nbs * 24, -1, s, s))
+        limb_feat = limb_feat["x4"]
+        limb_feat = self.limb_reslayer(
+            limb_feat.reshape(nbs, -1, limb_feat.size(-2), limb_feat.size(-1))
+        )
+        rot_feats = limb_feat.reshape(nbs, 24, -1, 1, 1)
+        rot_feats_before = rot_feats
+
+        for s_i in range(self.stack_num):
+            pos_feats = {0: rot_feats_before[:, 0]}
+            for br in LIMB_BRANCH:
+                for ind in br:
+                    p_ind = int(SMPL_PARENT[ind])
+                    cat = torch.cat([pos_feats[p_ind], rot_feats_before[:, p_ind]], dim=1)
+                    pos_feats[ind] = self.rot2pos[s_i][ind](cat)
+
+            pos_feats_refined = {}
+            hidden_feat = None
+            for br in range(len(LIMB_BRANCH_LSTM)):
+                pos_feat_in = torch.stack(
+                    [pos_feats[i] for i in LIMB_BRANCH_LSTM[br]], dim=1
+                ).squeeze(-1).squeeze(-1)
+                if br == 0:
+                    lstm_out, hidden_feat = self.limb_lstm[s_i][0](pos_feat_in)
+                elif br == 1:
+                    lstm_out, _ = self.limb_lstm[s_i][0](pos_feat_in, hidden_feat)
+                elif br in (2, 3):
+                    lstm_out, _ = self.limb_lstm[s_i][br - 1](pos_feat_in, hidden_feat)
+                else:
+                    lstm_out, _ = self.limb_lstm[s_i][br - 1](pos_feat_in)
+                for i, ind in enumerate(LIMB_BRANCH_LSTM[br]):
+                    if ind == 0 and br != 0:
+                        continue
+                    pos_feats_refined[ind] = lstm_out[:, i].unsqueeze(-1).unsqueeze(-1)
+
+            for i in range(24):
+                pos_feats[i] = pos_feats[i].repeat(1, 2, 1, 1) + pos_feats_refined[i]
+
+            tri = [torch.cat([pos_feats[int(SMPL_PARENT[i])], pos_feats[i],
+                              pos_feats[int(SMPL_CHILD2[i])]], dim=1) for i in range(24)]
+            tri = torch.cat(tri, dim=0)
+            tran = self.pos2rot[s_i](tri)
+            tran = tran.reshape(24, nbs, -1, 1, 1).transpose(0, 1)
+            part_feats = tran.contiguous().reshape(nbs, -1, 1, 1)
+            local_para = self.pose_regressors[s_i + 1](part_feats).reshape(nbs, -1)
+            smpl_pose = local_para + self.mean_pose
+            smpl_pose = rot6d_to_rotmat_t(smpl_pose).reshape(nbs, -1)
+        return {"para": torch.cat([global_para, smpl_pose], dim=1)}
+
+
 class TSMPLRegressor(tnn.Module):
     def __init__(self, predictor):
         super().__init__()
@@ -548,14 +661,19 @@ class TorchDaNet(tnn.Module):
     """danet.py:31-131 composition (eval/infer path)."""
 
     def __init__(self, backbone, mean_params, learned_ratio, learned_offset,
-                 hrnet_stages=None, msres_num_layers=50, part_vis_thresh=0.5):
+                 hrnet_stages=None, msres_num_layers=50, part_vis_thresh=0.5,
+                 refine_strategy="gcn"):
         super().__init__()
         self.img2iuv = TIUVEstimator(
             backbone, learned_ratio, learned_offset, part_vis_thresh,
             hrnet_stages=hrnet_stages, msres_num_layers=msres_num_layers,
         )
         mcs = np.concatenate([mean_params.cam, mean_params.shape])
-        self.iuv2smpl = TSMPLRegressor(TDecomposedPredictor(mcs, mean_params.pose6d))
+        if refine_strategy == "lstm":
+            pred = TDecomposedPredictorLSTM(mcs, mean_params.pose6d)
+        else:
+            pred = TDecomposedPredictor(mcs, mean_params.pose6d)
+        self.iuv2smpl = TSMPLRegressor(pred)
 
     @torch.no_grad()
     def infer_net(self, image):
@@ -591,11 +709,10 @@ def randomize_twin(model: tnn.Module, seed: int = 0, scale: float = 0.05):
                 m.running_var.copy_(torch.from_numpy(rng.rand(n).astype(np.float32) + 0.5))
                 m.weight.copy_(torch.from_numpy(rng.rand(n).astype(np.float32) + 0.5))
                 m.bias.copy_(torch.from_numpy(rng.randn(n).astype(np.float32) * 0.1))
-            elif isinstance(m, TGraphConv):
-                m.weight.copy_(torch.from_numpy(
-                    rng.randn(*m.weight.shape).astype(np.float32) * scale))
-                m.bias.copy_(torch.from_numpy(
-                    rng.randn(*m.bias.shape).astype(np.float32) * scale))
-        if hasattr(model, "iuv2smpl"):
+            elif isinstance(m, (TGraphConv, tnn.LSTM)):
+                for p in m.parameters():
+                    p.copy_(torch.from_numpy(
+                        rng.randn(*p.shape).astype(np.float32) * scale))
+        if hasattr(model, "iuv2smpl") and hasattr(model.iuv2smpl.smpl_para_Outs, "edge_importance"):
             ei = model.iuv2smpl.smpl_para_Outs.edge_importance
             ei.copy_(torch.from_numpy(rng.rand(*ei.shape).astype(np.float32) + 0.5))

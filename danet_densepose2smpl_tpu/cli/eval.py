@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--num_samples", type=int, default=32, help="fixture dataset size")
     p.add_argument("--result_file", default=None, help="npz dump of predictions")
     p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="decode-only host path: raw frames go to the device "
+                        "and crop+resize+normalize fuses into the jitted "
+                        "eval step (uniform frame sizes required)")
     p.add_argument("--annot_dir", default=None,
                    help="upi-s1h annotation root with the maskname/partname "
                         "GT PNGs for the LSP protocol (reference "
@@ -73,7 +77,8 @@ def main(argv=None):
         raise SystemExit("--npz required (or --synthetic-data)")
 
     ds = NpzDataset(args.npz, args.img_dir, name=args.dataset, is_train=False,
-                    heatmap_size=cfg.danet.heatmap_size)
+                    heatmap_size=cfg.danet.heatmap_size,
+                    return_raw=args.device_preprocess)
     loader = ResumableLoader(ds, args.batch_size, shuffle=False, drop_last=False)
 
     if args.regressor == "hmr":
@@ -110,6 +115,7 @@ def main(argv=None):
         infer_fn, loader.epoch(0), args.dataset, smpl, jreg,
         smpl_male=smpl_male, smpl_female=smpl_female,
         imgnames=ds.imgname, log_every=args.log_freq,
+        device_preprocess=args.device_preprocess,
     )
     print(result.summary(args.dataset))
 

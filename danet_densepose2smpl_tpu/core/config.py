@@ -118,6 +118,7 @@ class TrainConfig:
     test_steps: int = 10000
     train_data: str = "h36m_dp"      # 'h36m_dp' | 'h36m_coco_itw'
     seed: int = 0
+    prefetch_workers: int = 4        # 0 = synchronous loader (no prefetch)
 
 
 @dataclass(frozen=True)

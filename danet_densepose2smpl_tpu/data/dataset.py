@@ -61,7 +61,14 @@ class NpzDataset:
         use_augmentation: bool = True,
         augment: AugmentConfig | None = None,
         uv_symmetry=None,
+        return_raw: bool = False,
     ):
+        # return_raw: emit the decoded full frame ('raw_img', uint8 RGB)
+        # instead of the host crop — the device-preprocess eval path
+        # (data/pipeline.device_preprocess does crop+normalize on device).
+        # Eval-only: augmentation (flip/rot/noise) stays on the host path.
+        assert not (return_raw and is_train), "return_raw is an eval-path mode"
+        self.return_raw = return_raw
         self.name = name or os.path.basename(npz_path)
         self.img_dir = img_dir
         self.is_train = is_train
@@ -171,11 +178,14 @@ class NpzDataset:
         pose = self.pose[index].copy() if self.has_smpl[index] else np.zeros(72)
         betas = self.betas[index].copy() if self.has_smpl[index] else np.zeros(10)
 
-        rgb = crop(img, center, sc * scale, (IMG_RES, IMG_RES), rot=rot)
-        if flip:
-            rgb = flip_img(rgb)
-        rgb = np.clip(rgb * pn[None, None, :], 0, 255) / 255.0
-        item["img"] = ((rgb - IMG_NORM_MEAN) / IMG_NORM_STD).astype(np.float32)
+        if self.return_raw:
+            item["raw_img"] = np.ascontiguousarray(np.clip(img, 0, 255)).astype(np.uint8)
+        else:
+            rgb = crop(img, center, sc * scale, (IMG_RES, IMG_RES), rot=rot)
+            if flip:
+                rgb = flip_img(rgb)
+            rgb = np.clip(rgb * pn[None, None, :], 0, 255) / 255.0
+            item["img"] = ((rgb - IMG_NORM_MEAN) / IMG_NORM_STD).astype(np.float32)
 
         pose[:3] = rot_aa_np(pose[:3], rot)
         if flip:

@@ -64,17 +64,83 @@ class ResumableLoader:
             np.random.RandomState((self.seed * 100003 + epoch) % (2**31)).shuffle(idx)
         return idx
 
+    def _fetch(self, epoch: int, b: int, perm: np.ndarray, pool=None) -> dict:
+        """Assemble batch `b` (optionally decoding samples on a thread pool;
+        the per-sample RNG derivation is identical either way)."""
+        shard = self.batch_size // self.num_shards
+        lo = b * self.batch_size + self.shard_id * shard
+        ids = perm[lo : lo + shard]
+
+        def get(pair):
+            slot, i = pair
+            rng = np.random.RandomState(
+                (self.seed * 92821 + epoch * 524287 + b * 1031 + self.shard_id * 97 + slot) % (2**31)
+            )
+            return self.dataset.__getitem__(int(i), rng=rng)
+
+        pairs = list(enumerate(ids))
+        items = list(pool.map(get, pairs)) if pool is not None else [get(p) for p in pairs]
+        return _collate(items)
+
     def epoch(self, epoch: int, start_batch: int = 0):
         """Yield (batch_idx, batch dict) from `start_batch` (mid-epoch resume)."""
         perm = self.permutation(epoch)
-        shard = self.batch_size // self.num_shards
         for b in range(start_batch, self.num_batches()):
-            lo = b * self.batch_size + self.shard_id * shard
-            ids = perm[lo : lo + shard]
-            items = []
-            for slot, i in enumerate(ids):
-                rng = np.random.RandomState(
-                    (self.seed * 92821 + epoch * 524287 + b * 1031 + self.shard_id * 97 + slot) % (2**31)
-                )
-                items.append(self.dataset.__getitem__(int(i), rng=rng))
-            yield b, _collate(items)
+            yield b, self._fetch(epoch, b, perm)
+
+
+class PrefetchLoader:
+    """Double-buffered wrapper over ResumableLoader: a producer thread
+    assembles upcoming batches with a decode thread pool (cv2 releases the
+    GIL) while the consumer's current batch is on device — the equivalent of
+    the reference's DataLoader worker processes (utils/data_loader.py) that
+    keeps the TPU from starving on host input. Batch contents and order are
+    byte-identical to the wrapped loader."""
+
+    def __init__(self, loader: ResumableLoader, depth: int = 2, workers: int = 4):
+        self.loader = loader
+        self.depth = depth
+        self.workers = workers
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
+
+    def epoch(self, epoch: int, start_batch: int = 0):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+        DONE = object()
+
+        def produce():
+            try:
+                perm = self.loader.permutation(epoch)
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for b in range(start_batch, self.loader.num_batches()):
+                        if stop.is_set():
+                            return
+                        q.put((b, self.loader._fetch(epoch, b, perm, pool)))
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get(timeout=0.05)
+                except queue.Empty:
+                    pass

@@ -72,15 +72,24 @@ def make_eval_step(
     use_gt_verts: bool,
     smpl_male: SMPLModel | None = None,
     smpl_female: SMPLModel | None = None,
+    device_preprocess: bool = False,
 ):
-    """One jitted eval step: images (+GT) -> per-sample (mpjpe, pa)."""
+    """One jitted eval step: images (+GT) -> per-sample (mpjpe, pa).
+
+    With `device_preprocess`, `images` is the raw uint8 frame batch and
+    crop+resize+normalize fuses into the same jitted program
+    (data/pipeline.device_preprocess; BASELINE north star)."""
 
     jreg = jnp.asarray(j_regressor)
     mh = jnp.asarray(joint_mapper_h36m)
     mg = jnp.asarray(joint_mapper_gt)
 
     @jax.jit
-    def step(images, gt_pose, gt_betas, gender, pose_3d):
+    def step(images, gt_pose, gt_betas, gender, pose_3d, centers=None, scales=None):
+        if device_preprocess:
+            from danet_densepose2smpl_tpu.data.pipeline import device_preprocess as dp
+
+            images = dp(images, centers, scales)
         para = infer_fn(images)
         pred_betas = para[:, 3:13]
         pred_rotmat = para[:, 13:].reshape(-1, 24, 3, 3)
@@ -115,9 +124,10 @@ def run_pose_eval(
     smpl_female: SMPLModel | None = None,
     imgnames: np.ndarray | None = None,
     log_every: int = 10,
+    device_preprocess: bool = False,
 ) -> PoseEvalResult:
     """Evaluate over `loader` batches (dicts with img/pose/betas/gender/
-    pose_3d/sample_index)."""
+    pose_3d/sample_index; raw_img/center/scale when device_preprocess)."""
     is_mpi = dataset_name == "mpi-inf-3dhp"
     mapper_h36m = H36M_TO_J17 if is_mpi else H36M_TO_J14
     mapper_gt = J24_TO_J17 if is_mpi else J24_TO_J14
@@ -126,16 +136,24 @@ def run_pose_eval(
     step = make_eval_step(
         infer_fn, smpl_neutral, j_regressor, mapper_h36m, mapper_gt,
         use_gt_verts, smpl_male or smpl_neutral, smpl_female or smpl_neutral,
+        device_preprocess=device_preprocess,
     )
 
     all_mpjpe, all_pa, all_idx = [], [], []
     for b, batch in loader:
+        if device_preprocess:
+            extra = (jnp.asarray(batch["center"]), jnp.asarray(batch["scale"]))
+            images = jnp.asarray(batch["raw_img"])
+        else:
+            extra = ()
+            images = jnp.asarray(batch["img"])
         (mpjpe, pa), _ = step(
-            jnp.asarray(batch["img"]),
+            images,
             jnp.asarray(batch["pose"]),
             jnp.asarray(batch["betas"]),
             jnp.asarray(batch["gender"]),
             jnp.asarray(batch["pose_3d"]),
+            *extra,
         )
         all_mpjpe.append(np.asarray(mpjpe))
         all_pa.append(np.asarray(pa))

@@ -51,6 +51,10 @@ class Trainer:
         self.start_time = time.time()
 
         self.loader = ResumableLoader(dataset, cfg.train.batch_size, seed=cfg.train.seed)
+        if cfg.train.prefetch_workers > 0:
+            from danet_densepose2smpl_tpu.data.loader import PrefetchLoader
+
+            self.loader = PrefetchLoader(self.loader, workers=cfg.train.prefetch_workers)
         self.model = DaNet(cfg.danet, train=True)
         is_itw = cfg.train.train_data == "h36m_coco_itw"
 

@@ -204,3 +204,72 @@ def test_device_preprocess_matches_host_crop(rng):
         diff = np.abs(got[i, 2:-2, 2:-2] - ref[2:-2, 2:-2])
         assert diff.max() < 0.1, diff.max()
         assert np.median(diff) < 0.01
+
+
+def test_prefetch_loader_identical_batches(tmp_path):
+    """PrefetchLoader must yield byte-identical batches in the same order as
+    the synchronous ResumableLoader (same per-sample RNG derivation)."""
+    from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+    from danet_densepose2smpl_tpu.data.loader import PrefetchLoader, ResumableLoader
+    from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+
+    npz, img_dir = write_synthetic_dataset(str(tmp_path), n=10)
+    ds = NpzDataset(npz, img_dir, name="synth", is_train=True, heatmap_size=16)
+    base = ResumableLoader(ds, 4, seed=3, shuffle=True, drop_last=False)
+    pre = PrefetchLoader(ResumableLoader(ds, 4, seed=3, shuffle=True, drop_last=False),
+                         depth=2, workers=3)
+
+    got = list(pre.epoch(1))
+    exp = list(base.epoch(1))
+    assert [b for b, _ in got] == [b for b, _ in exp]
+    for (_, g), (_, e) in zip(got, exp):
+        for k in e:
+            if isinstance(e[k], dict):
+                for kk in e[k]:
+                    np.testing.assert_array_equal(g[k][kk], e[k][kk])
+            elif isinstance(e[k], list):
+                assert g[k] == e[k]
+            else:
+                np.testing.assert_array_equal(g[k], e[k])
+    # early-abort path shuts the producer down cleanly
+    it = pre.epoch(0)
+    next(it)
+    it.close()
+
+
+def test_eval_harness_device_preprocess_path(tmp_path):
+    """run_pose_eval(device_preprocess=True) consumes raw frames and matches
+    the host-crop path closely (bilinear crop twins)."""
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+    from danet_densepose2smpl_tpu.data.loader import ResumableLoader
+    from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+    from danet_densepose2smpl_tpu.eval import run_pose_eval
+    from danet_densepose2smpl_tpu.eval.harness import synthetic_h36m_regressor
+    from danet_densepose2smpl_tpu.ops.rotations import batch_rodrigues
+    from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
+
+    npz, img_dir = write_synthetic_dataset(str(tmp_path), n=6)
+    smpl = synthetic_smpl_model(num_verts=300, seed=0)
+    jreg = synthetic_h36m_regressor(300, seed=1)
+
+    def run(raw):
+        ds = NpzDataset(npz, img_dir, name="h36m-p2", is_train=False,
+                        heatmap_size=16, return_raw=raw)
+        loader = ResumableLoader(ds, 3, shuffle=False, drop_last=False)
+        # infer depends on the (preprocessed) images so the pipeline is live
+        def infer_fn(img):
+            b = img.shape[0]
+            cam = jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (b, 1))
+            betas = jnp.tile(jnp.mean(img, axis=(1, 2, 3))[:, None] * 1e-3, (1, 10))
+            rot = jnp.tile(jnp.eye(3).reshape(1, 9), (b, 24)).reshape(b, 216)
+            return jnp.concatenate([cam, betas, rot], axis=1)
+
+        return run_pose_eval(infer_fn, loader.epoch(0), "h36m-p2", smpl, jreg,
+                             log_every=0, device_preprocess=raw)
+
+    host = run(False)
+    dev = run(True)
+    assert np.isfinite(dev.mpjpe).all()
+    np.testing.assert_allclose(dev.mpjpe, host.mpjpe, atol=5e-4)

@@ -78,6 +78,7 @@ class DaNetConfig:
 
     # numerics
     compute_dtype: str = "float32"   # 'bfloat16' flips conv/matmul activations
+    fused_part_head: bool = True     # Pallas crop+head fusion at inference (TPU)
 
     def __post_init__(self):
         # Fail fast on knobs we deliberately don't wire instead of silently

@@ -73,18 +73,21 @@ def make_eval_step(
     smpl_male: SMPLModel | None = None,
     smpl_female: SMPLModel | None = None,
     device_preprocess: bool = False,
+    mesh=None,
 ):
     """One jitted eval step: images (+GT) -> per-sample (mpjpe, pa).
 
     With `device_preprocess`, `images` is the raw uint8 frame batch and
     crop+resize+normalize fuses into the same jitted program
-    (data/pipeline.device_preprocess; BASELINE north star)."""
+    (data/pipeline.device_preprocess; BASELINE north star). With `mesh`,
+    the step is data-parallel: batch args/outputs shard over the mesh
+    (params replicate; XLA inserts no collectives — eval is embarrassingly
+    parallel over the batch)."""
 
     jreg = jnp.asarray(j_regressor)
     mh = jnp.asarray(joint_mapper_h36m)
     mg = jnp.asarray(joint_mapper_gt)
 
-    @jax.jit
     def step(images, gt_pose, gt_betas, gender, pose_3d, centers=None, scales=None):
         if device_preprocess:
             from danet_densepose2smpl_tpu.data.pipeline import device_preprocess as dp
@@ -111,7 +114,18 @@ def make_eval_step(
 
         return compute_mpjpe(pred_sel, gt_sel), para
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+
+    from danet_densepose2smpl_tpu.parallel.mesh import batch_sharding
+
+    bs = batch_sharding(mesh)
+    n_args = 7 if device_preprocess else 5
+    return jax.jit(
+        step,
+        in_shardings=(bs,) * n_args,
+        out_shardings=((bs, bs), bs),
+    )
 
 
 def run_pose_eval(
@@ -125,6 +139,7 @@ def run_pose_eval(
     imgnames: np.ndarray | None = None,
     log_every: int = 10,
     device_preprocess: bool = False,
+    mesh=None,
 ) -> PoseEvalResult:
     """Evaluate over `loader` batches (dicts with img/pose/betas/gender/
     pose_3d/sample_index; raw_img/center/scale when device_preprocess)."""
@@ -136,7 +151,7 @@ def run_pose_eval(
     step = make_eval_step(
         infer_fn, smpl_neutral, j_regressor, mapper_h36m, mapper_gt,
         use_gt_verts, smpl_male or smpl_neutral, smpl_female or smpl_neutral,
-        device_preprocess=device_preprocess,
+        device_preprocess=device_preprocess, mesh=mesh,
     )
 
     all_mpjpe, all_pa, all_idx = [], [], []

@@ -198,9 +198,28 @@ class IUVEstimator(nn.Module):
         out["stn_scale"] = scale
 
         # diagonal thetas -> separable matmul crops (MXU fwd + bwd; the
-        # gather form's scatter-add backward dominated the TPU train step)
-        crops = separable_crop(feats, theta[..., :, 2], theta[..., 0, 0], s)
-        b = crops.shape[0]
-        part_feats = crops.transpose(0, 2, 3, 1, 4).reshape(b, s, s, -1)
-        out["part_iuv"] = PartialIUVHead(name="partial_head")(part_feats)
+        # gather form's scatter-add backward dominated the TPU train step).
+        # Serving path: the Pallas kernel fuses crop+head in VMEM so the
+        # (B, 24, S, S, C) crop tensor never hits HBM (PERF.md); training
+        # keeps the XLA path (the kernel is forward-only).
+        use_fused = (
+            not self.train
+            and c.fused_part_head
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_fused:
+            from danet_densepose2smpl_tpu.ops.imwarp import _axis_weights
+
+            hh, ww = feats.shape[1:3]
+            scales_t = theta[..., 0, 0]
+            wy = _axis_weights(theta[..., 1, 2], scales_t, hh, s, feats.dtype)
+            wx = _axis_weights(theta[..., 0, 2], scales_t, ww, s, feats.dtype)
+            out["part_iuv"] = PartialIUVHead(name="partial_head")(
+                fused_inputs=(feats, wy, wx)
+            )
+        else:
+            crops = separable_crop(feats, theta[..., :, 2], theta[..., 0, 0], s)
+            b = crops.shape[0]
+            part_feats = crops.transpose(0, 2, 3, 1, 4).reshape(b, s, s, -1)
+            out["part_iuv"] = PartialIUVHead(name="partial_head")(part_feats)
         return out

@@ -10,6 +10,7 @@ stacked part-feature crops to 24 x (3 x 7) channels in one groups=24 conv.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from danet_densepose2smpl_tpu.constants import ANN_CHANNELS, IUV_CHANNELS
@@ -58,29 +59,64 @@ class IUVPredictHead(nn.Module):
         return out
 
 
+class _GroupedConvParams(nn.Module):
+    """Parameter holder for the grouped partial head (same tree path as the
+    former nn.Conv: predict_partial_iuv/{kernel, bias}) so the standard and
+    Pallas-fused forward paths share one set of weights."""
+
+    in_per_group: int
+    out_total: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _head_init(), (3, 3, self.in_per_group, self.out_total)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_total,))
+        return kernel, bias
+
+
 class PartialIUVHead(nn.Module):
     """Grouped partial-IUV head over the 24 part-feature crops.
 
-    Input (B, S, S, 24*C) concatenated part crops; output
-    (B, 24, S, S, 3, part_dim) partial IUV stacks (part_dim = 1 + 6 simplified
-    patch channels).
+    Standard path: input (B, S, S, 24*C) concatenated part crops ->
+    groups=24 3x3 conv. Fused path (`fused_inputs`): the crops never
+    materialize — kernels/part_crop_head.fused_part_predict computes
+    crop+conv per part in VMEM (serving path; identical numerics).
+    Output either way: (B, 24, S, S, 3, part_dim) partial IUV stacks
+    (part_dim = 1 + 6 simplified patch channels).
     """
 
     part_dim: int = 7
     num_parts: int = 24
 
     @nn.compact
-    def __call__(self, part_feats):
+    def __call__(self, part_feats=None, fused_inputs=None, interpret=False):
+        k = self.num_parts
+        out_total = self.part_dim * 3 * k
+        if fused_inputs is not None:
+            from danet_densepose2smpl_tpu.kernels.part_crop_head import fused_part_predict
+
+            feats, wy, wx = fused_inputs
+            kernel, bias = _GroupedConvParams(
+                feats.shape[-1], out_total, name="predict_partial_iuv"
+            )()
+            out = fused_part_predict(
+                feats, wy, wx, kernel, bias, wy.shape[2], interpret=interpret
+            )  # (B, K, S, S, 3*part_dim)
+            b, _, s = out.shape[:3]
+            return out.reshape(b, k, s, s, 3, self.part_dim)
+
         b, s = part_feats.shape[0], part_feats.shape[1]
-        out = nn.Conv(
-            self.part_dim * 3 * self.num_parts,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
-            feature_group_count=self.num_parts,
-            kernel_init=_head_init(),
-            name="predict_partial_iuv",
-        )(part_feats)
+        kernel, bias = _GroupedConvParams(
+            part_feats.shape[-1] // k, out_total, name="predict_partial_iuv"
+        )()
+        out = jax.lax.conv_general_dilated(
+            part_feats, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=k,
+        ) + bias
         # channel layout per part group: [u(7), v(7), index(7)] x 24 ->
         # (B, S, S, 24, 3, 7) -> (B, 24, S, S, 3, 7)
-        out = out.reshape(b, s, s, self.num_parts, 3, self.part_dim)
+        out = out.reshape(b, s, s, k, 3, self.part_dim)
         return out.transpose(0, 3, 1, 2, 4, 5)

@@ -78,7 +78,12 @@ class DaNetConfig:
 
     # numerics
     compute_dtype: str = "float32"   # 'bfloat16' flips conv/matmul activations
-    fused_part_head: bool = True     # Pallas crop+head fusion at inference (TPU)
+    # Pallas crop+head fusion at inference. Default OFF: the kernel's
+    # in-kernel (H, W, C)->(H, W*C) shape cast fails Mosaic vector-layout
+    # inference on real v5e hardware (it passes only in interpret mode);
+    # the XLA separable-matmul path is the validated serving path until the
+    # kernel is restructured around Mosaic-legal layouts.
+    fused_part_head: bool = False
 
     def __post_init__(self):
         # Fail fast on knobs we deliberately don't wire instead of silently

@@ -57,7 +57,7 @@ def _kernel(feats_ref, wy_ref, wx_ref, k_ref, b_ref, out_ref):
         cols.reshape(s * s, 9 * c),
         k_ref[0].reshape(9 * c, o).astype(f.dtype),
         preferred_element_type=f32,
-    ) + b_ref[0].astype(f32)
+    ) + b_ref[pl.program_id(1)].astype(f32)
     out_ref[0, 0] = acc.reshape(s, s, o).astype(out_ref.dtype)
 
 
@@ -97,7 +97,10 @@ def fused_part_predict(
             pl.BlockSpec((1, 1, s, h), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, s, w), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 3, 3, c, o), lambda i, j: (j, 0, 0, 0, 0)),
-            pl.BlockSpec((1, o), lambda i, j: (j, 0)),
+            # full (K, O) bias table: a (1, O) block would violate the TPU
+            # (8, 128)-tile rule on the second-to-last dim; it's tiny, keep
+            # it whole in VMEM and index by the part grid id in-kernel
+            pl.BlockSpec((k, o), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, s, s, o), lambda i, j: (i, j, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, k, s, s, o), feats.dtype),

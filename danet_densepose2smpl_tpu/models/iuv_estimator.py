@@ -199,9 +199,9 @@ class IUVEstimator(nn.Module):
 
         # diagonal thetas -> separable matmul crops (MXU fwd + bwd; the
         # gather form's scatter-add backward dominated the TPU train step).
-        # Serving path: the Pallas kernel fuses crop+head in VMEM so the
-        # (B, 24, S, S, C) crop tensor never hits HBM (PERF.md); training
-        # keeps the XLA path (the kernel is forward-only).
+        # Optional Pallas kernel fuses crop+head in VMEM so the
+        # (B, 24, S, S, C) crop tensor never hits HBM; forward-only and
+        # currently opt-in (see core/config.py fused_part_head).
         use_fused = (
             not self.train
             and c.fused_part_head

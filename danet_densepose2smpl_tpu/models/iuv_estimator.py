@@ -22,7 +22,7 @@ from danet_densepose2smpl_tpu.core.config import DaNetConfig
 from danet_densepose2smpl_tpu.nn.hrnet import PoseHighResolutionNet
 from danet_densepose2smpl_tpu.nn.iuv_head import IUVPredictHead, PartialIUVHead
 from danet_densepose2smpl_tpu.nn.resnet import PoseResNet
-from danet_densepose2smpl_tpu.ops.imwarp import crop_theta, separable_crop
+from danet_densepose2smpl_tpu.ops.imwarp import crop_theta, separable_crop_concat
 from danet_densepose2smpl_tpu.ops.iuvmap import iuvmap_clean
 from danet_densepose2smpl_tpu.ops.keypoints import soft_argmax_2d
 from danet_densepose2smpl_tpu.ops.structure import (
@@ -218,8 +218,6 @@ class IUVEstimator(nn.Module):
                 fused_inputs=(feats, wy, wx)
             )
         else:
-            crops = separable_crop(feats, theta[..., :, 2], theta[..., 0, 0], s)
-            b = crops.shape[0]
-            part_feats = crops.transpose(0, 2, 3, 1, 4).reshape(b, s, s, -1)
+            part_feats = separable_crop_concat(feats, theta[..., :, 2], theta[..., 0, 0], s)
             out["part_iuv"] = PartialIUVHead(name="partial_head")(part_feats)
         return out

@@ -39,7 +39,8 @@ class DaNetConfig:
     heatmap_size: int = 56
     num_patches: int = 24
     decomposed: bool = True
-    input_mode: str = "iuv"          # 'iuv' | 'iuv_gt' (oracle); ablations omitted
+    input_mode: str = "iuv"          # 'iuv' | 'iuv_gt' (oracle) | 'iuv_feat' |
+                                     # 'iuv_gt_feat' | 'feat' | 'seg' (ablations)
     use_6d_rot: bool = True
     iuv_regressor: str = "hrnet"     # 'hrnet' | 'resnet'
     glo_num_layers: int = 18         # body-net ResNet depth
@@ -87,15 +88,17 @@ class DaNetConfig:
 
     def __post_init__(self):
         # Fail fast on knobs we deliberately don't wire instead of silently
-        # accepting them. The reference supports INPUT_MODE ablations
-        # rgb/iuv_feat/iuv_gt_feat/feat/seg (danet.py:67-124); this framework
-        # implements the default 'iuv' and the oracle 'iuv_gt'.
-        supported_modes = ("iuv", "iuv_gt")
+        # accepting them. All working reference INPUT_MODE ablations
+        # (danet.py:67-124) are implemented; 'rgb' is rejected because the
+        # reference's own inference wiring for it is broken (infer_net has no
+        # 'rgb' branch -> UnboundLocalError at danet.py:109-124) and no
+        # shipped config uses it.
+        supported_modes = ("iuv", "iuv_gt", "iuv_feat", "iuv_gt_feat", "feat", "seg")
         if self.input_mode not in supported_modes:
             raise ValueError(
                 f"input_mode '{self.input_mode}' is not implemented; supported: "
-                f"{supported_modes}. The reference's rgb/feat/seg ablation wiring "
-                "was deliberately omitted (see PARITY.md)."
+                f"{supported_modes}. 'rgb' is deliberately rejected: the "
+                "reference's inference path for it is broken (see PARITY.md)."
             )
         if self.refine_strategy not in ("gcn", "gcn_direct", "lstm", "lstm_direct"):
             raise ValueError(

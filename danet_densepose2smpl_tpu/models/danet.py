@@ -97,7 +97,16 @@ class DaNet(nn.Module):
             est = IUVEstimator(c, train=self.train, axis_name=self.axis_name, name="img2iuv")(image)
         out = {"iuv_raw": est}
 
-        u, v, index, ann = est["u"], est["v"], est["index"], est["ann"]
+        if c.input_mode == "iuv_gt_feat":
+            # global IUV maps come from the GT render, partial stacks and
+            # backbone features from the estimator (reference danet.py:73-76,
+            # :185-187: img2iuv(image) + iuv_img2map(uv_image_gt))
+            from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
+
+            assert uv_image_gt is not None, "input_mode='iuv_gt_feat' needs uv_image_gt"
+            u, v, index, ann = iuv_img2map(uv_image_gt)
+        else:
+            u, v, index, ann = est["u"], est["v"], est["index"], est["ann"]
         part_iuv = est.get("part_iuv")
 
         if self.train and c.partdrop_rate > 0:
@@ -114,14 +123,35 @@ class DaNet(nn.Module):
 
         iuv_map = jnp.concatenate([u_cl, v_cl, index_cl], axis=-1)  # (B, S, S, 75)
 
+        # ablation inputs (reference danet.py:293-332): backbone features and
+        # their STN crops for the *_feat modes; the cleaned index maps alone
+        # for 'seg'
+        feat_mode = c.input_mode in ("iuv_feat", "iuv_gt_feat", "feat")
+        gfeats = est.get("feats") if feat_mode else None
+        pfeats = est.get("part_feats") if feat_mode else None
+
         if c.decomposed:
             part_map = clean_part_stacks(part_iuv)
             out["part_iuv_clean"] = part_map
+            if c.input_mode == "feat":
+                body_in, part_in = None, None
+            elif c.input_mode == "seg":
+                body_in, part_in = index_cl, part_map[..., 2, :]
+            else:
+                body_in, part_in = iuv_map, part_map
             smpl_out = DecomposedPredictor(
                 c, mp, train=self.train, axis_name=self.axis_name, name="iuv2smpl",
-            )(iuv_map, part_map)
+            )(body_in, part_in, global_feats=gfeats, part_feats=pfeats)
         else:
-            smpl_out = GlobalPredictor(c, train=self.train, axis_name=self.axis_name, name="iuv2smpl")(iuv_map)
+            if c.input_mode == "feat":
+                body_in = None
+            elif c.input_mode == "seg":
+                body_in = index_cl
+            else:
+                body_in = iuv_map
+            smpl_out = GlobalPredictor(
+                c, train=self.train, axis_name=self.axis_name, name="iuv2smpl",
+            )(body_in, global_feats=gfeats)
 
         out.update(smpl_out)
         para = smpl_out["para"]

@@ -22,7 +22,11 @@ from danet_densepose2smpl_tpu.core.config import DaNetConfig
 from danet_densepose2smpl_tpu.nn.hrnet import PoseHighResolutionNet
 from danet_densepose2smpl_tpu.nn.iuv_head import IUVPredictHead, PartialIUVHead
 from danet_densepose2smpl_tpu.nn.resnet import PoseResNet
-from danet_densepose2smpl_tpu.ops.imwarp import crop_theta, separable_crop_concat
+from danet_densepose2smpl_tpu.ops.imwarp import (
+    crop_theta,
+    separable_crop,
+    separable_crop_concat,
+)
 from danet_densepose2smpl_tpu.ops.iuvmap import iuvmap_clean
 from danet_densepose2smpl_tpu.ops.keypoints import soft_argmax_2d
 from danet_densepose2smpl_tpu.ops.structure import (
@@ -207,7 +211,17 @@ class IUVEstimator(nn.Module):
             and c.fused_part_head
             and jax.default_backend() not in ("cpu",)
         )
-        if use_fused:
+        if c.input_mode in ("iuv_feat", "iuv_gt_feat", "feat"):
+            # the *_feat ablations feed the STN feature crops themselves to
+            # the SMPL regressor (reference iuv_estimator.py:213-214 emits
+            # 'part_featmaps'); thetas are already gradient-stopped above,
+            # the features are not — matching the reference
+            crops = separable_crop(feats, theta[..., :, 2], theta[..., 0, 0], s)
+            out["part_feats"] = crops                       # (B, 24, S, S, C)
+            b = crops.shape[0]
+            part_feats = crops.transpose(0, 2, 3, 1, 4).reshape(b, s, s, -1)
+            out["part_iuv"] = PartialIUVHead(name="partial_head")(part_feats)
+        elif use_fused:
             from danet_densepose2smpl_tpu.ops.imwarp import _axis_weights
 
             hh, ww = feats.shape[1:3]

@@ -164,15 +164,21 @@ LSTM_CHAINS = (
 
 
 class GlobalPredictor(nn.Module):
-    """Single ResNet on the 75-ch stacked IUV map -> 229 params."""
+    """Single ResNet on the stacked input map -> 229 params.
+
+    Input channels follow the input_mode (reference smpl_regressor.py:332-346):
+    75 ('iuv'/'iuv_gt'), 75+C ('iuv_feat'/'iuv_gt_feat' — IUV concat backbone
+    features), C ('feat'), 25 ('seg', the cleaned index map)."""
 
     cfg: DaNetConfig
     train: bool = False
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, iuv_map):
-        x = Conv1x1BNRelu(64, self.train, self.axis_name)(iuv_map)
+    def __call__(self, iuv_map, global_feats=None):
+        xs = [t for t in (iuv_map, global_feats) if t is not None]
+        body_in = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+        x = Conv1x1BNRelu(64, self.train, self.axis_name)(body_in)
         para, _ = SmplResNet(
             resnet_nums=self.cfg.glo_num_layers, num_classes=229,
             train=self.train, axis_name=self.axis_name, name="conv_body",
@@ -187,22 +193,35 @@ class DecomposedPredictor(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, iuv_map: jnp.ndarray, part_iuv_map: jnp.ndarray) -> dict:
-        """iuv_map: (B, 56, 56, 75); part_iuv_map: (B, 24, 56, 56, 3, 7).
+    def __call__(
+        self,
+        iuv_map: jnp.ndarray | None,
+        part_iuv_map: jnp.ndarray | None,
+        global_feats: jnp.ndarray | None = None,
+        part_feats: jnp.ndarray | None = None,
+    ) -> dict:
+        """iuv_map: (B, 56, 56, 75) — or (B, 56, 56, 25) cleaned index map in
+        'seg' mode, or None in 'feat' mode; part_iuv_map: (B, 24, 56, 56, 3, 7)
+        partial IUV stacks — or (B, 24, 56, 56, 7) index stacks ('seg'), or
+        None ('feat'). global_feats / part_feats: backbone feature map and its
+        STN crops for the *_feat / 'feat' ablations (concatenated onto the
+        body / limb inputs, reference smpl_regressor.py:412-426, :689-721).
 
         Returns {'para': (B, 229), 'joint_position': [...], 'joint_rotation': [...]}
         where para = [cam(3), shape(10), rotmats(216)].
         """
         c = self.cfg
         r = c.refinement
-        b = iuv_map.shape[0]
         out = {"joint_position": [], "joint_rotation": []}
 
         mean_cam_shape = jnp.asarray(np.concatenate([self.mean_params.cam, self.mean_params.shape]))
         mean_pose = jnp.asarray(self.mean_params.pose6d)
 
         # --- global body net: cam + shape ---
-        x = Conv1x1BNRelu(64, self.train, self.axis_name, name="body_adapter")(iuv_map)
+        body_parts = [t for t in (iuv_map, global_feats) if t is not None]
+        body_in = body_parts[0] if len(body_parts) == 1 else jnp.concatenate(body_parts, axis=-1)
+        b = body_in.shape[0]
+        x = Conv1x1BNRelu(64, self.train, self.axis_name, name="body_adapter")(body_in)
         global_para, _ = SmplResNet(
             resnet_nums=c.glo_num_layers, num_classes=13,
             train=self.train, axis_name=self.axis_name, name="body_net",
@@ -210,8 +229,17 @@ class DecomposedPredictor(nn.Module):
         global_para = global_para + mean_cam_shape[None, :]
 
         # --- limb net over the 24 partial stacks (part axis -> batch) ---
-        s = part_iuv_map.shape[2]
-        limb_in = part_iuv_map.reshape(b * 24, s, s, -1)  # (B*24, S, S, 21)
+        limb_parts = []
+        if part_iuv_map is not None:
+            p = part_iuv_map
+            if p.ndim == 6:  # (B, 24, S, S, 3, 7) -> flatten the (3, 7) stack
+                p = p.reshape(*p.shape[:4], -1)
+            limb_parts.append(p)
+        if part_feats is not None:
+            limb_parts.append(part_feats)
+        part_in = limb_parts[0] if len(limb_parts) == 1 else jnp.concatenate(limb_parts, axis=-1)
+        s = part_in.shape[2]
+        limb_in = part_in.reshape(b * 24, s, s, -1)  # (B*24, S, S, Cin)
         y = Conv1x1BNRelu(64, self.train, self.axis_name, name="limb_adapter")(limb_in)
         _, limb_feat = SmplResNet(
             resnet_nums=c.limb_num_layers, num_classes=0, truncate=1,

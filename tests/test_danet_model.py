@@ -201,3 +201,66 @@ def test_iuv_gt_oracle_mode(rng):
 
     g = jax.grad(loss)(v["params"])
     assert float(jnp.abs(g["stn_ratio"]).sum()) > 0
+
+
+@pytest.mark.parametrize("mode", ["iuv_feat", "feat", "seg"])
+def test_input_mode_ablations(mode, rng):
+    """The reference's INPUT_MODE ablations (danet.py:293-332): 'iuv_feat'
+    concatenates backbone features onto the IUV inputs, 'feat' feeds features
+    alone, 'seg' feeds the cleaned index maps alone."""
+    cfg = small_cfg(input_mode=mode, img_size=64, heatmap_size=16)
+    model = DaNet(cfg, train=False)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0)}, img)
+    out = model.apply(v, img)
+    assert out["para"].shape == (2, 229)
+    assert np.isfinite(np.asarray(out["para"])).all()
+    # rotation part must still be valid rotation matrices
+    R = np.asarray(out["pred_rotmat"]).reshape(-1, 3, 3)
+    eye = np.einsum("bik,blk->bil", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+
+
+def test_iuv_gt_feat_mode(rng):
+    """'iuv_gt_feat': global IUV maps come from the GT render while partial
+    stacks + features come from the estimator (reference danet.py:73-76)."""
+    cfg = small_cfg(input_mode="iuv_gt_feat", img_size=64, heatmap_size=16)
+    model = DaNet(cfg, train=False)
+    B, s = 2, 16
+    part = rng.randint(0, 25, (B, s, s)).astype(np.float32)
+    uv_gt = jnp.asarray(np.stack(
+        [part / 24, rng.rand(B, s, s) * (part > 0), rng.rand(B, s, s) * (part > 0)], -1
+    ).astype(np.float32))
+    img = jnp.asarray(rng.rand(B, 64, 64, 3).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0)}, img, uv_image_gt=uv_gt)
+    out = model.apply(v, img, uv_image_gt=uv_gt)
+    assert out["para"].shape == (B, 229)
+    assert np.isfinite(np.asarray(out["para"])).all()
+
+
+def test_feat_mode_gradient_routing(rng):
+    """In 'feat' mode the regressor consumes backbone features directly: the
+    parameter loss must reach the backbone but NOT the global IUV heads
+    (their outputs feed only the IUV losses)."""
+    cfg = small_cfg(input_mode="feat", img_size=64, heatmap_size=16)
+    model = DaNet(cfg, train=True)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1),
+            "partdrop": jax.random.PRNGKey(2)}
+    v = model.init(rngs, img)
+
+    def loss(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, img,
+            mutable=["batch_stats"],
+            rngs={"jitter": jax.random.PRNGKey(3), "partdrop": jax.random.PRNGKey(4)},
+        )
+        return jnp.sum(out["para"] ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    est = g["img2iuv"]
+    assert float(jnp.abs(est["iuv_head"]["predict_u"]["kernel"]).sum()) == 0.0
+    backbone_norm = sum(
+        float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(est["backbone"])
+    )
+    assert backbone_norm > 0

@@ -35,6 +35,9 @@ def main(argv=None):
                    help="decode-only host path: raw frames go to the device "
                         "and crop+resize+normalize fuses into the jitted "
                         "eval step (uniform frame sizes required)")
+    p.add_argument("--prefetch", type=int, default=0, metavar="N",
+                   help="decode batches with N threads ahead of the device "
+                        "(PrefetchLoader double-buffering; 0 = synchronous)")
     p.add_argument("--annot_dir", default=None,
                    help="upi-s1h annotation root with the maskname/partname "
                         "GT PNGs for the LSP protocol (reference "
@@ -80,6 +83,10 @@ def main(argv=None):
                     heatmap_size=cfg.danet.heatmap_size,
                     return_raw=args.device_preprocess)
     loader = ResumableLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+    if args.prefetch > 0:
+        from danet_densepose2smpl_tpu.data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(loader, workers=args.prefetch)
 
     if args.regressor == "hmr":
         from danet_densepose2smpl_tpu.models.smpl_regressor import default_mean_params

@@ -79,6 +79,11 @@ class DaNetConfig:
 
     # numerics
     compute_dtype: str = "float32"   # 'bfloat16' flips conv/matmul activations
+    # Rematerialize the IUV backbone in the backward pass (jax.checkpoint):
+    # trades ~1/3 more backbone FLOPs for not keeping its activations live,
+    # lifting the trainable batch per chip (B=64 fp32 OOMs 16 GB HBM
+    # without it; the reference never faces this at B=16/GPU).
+    remat_backbone: bool = False
     # Pallas crop+head fusion at inference. Default OFF: the kernel's
     # in-kernel (H, W, C)->(H, W*C) shape cast fails Mosaic vector-layout
     # inference on real v5e hardware (it passes only in interpret mode);
@@ -104,6 +109,12 @@ class DaNetConfig:
             raise ValueError(
                 f"unknown refine_strategy '{self.refine_strategy}' "
                 "(supported: gcn, gcn_direct, lstm, lstm_direct)"
+            )
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown compute_dtype '{self.compute_dtype}' (supported: "
+                "float32, bfloat16 — bf16 runs the train-step forward in "
+                "mixed precision and is the serving default via --bf16)"
             )
         if self.iuv_regressor not in ("hrnet", "resnet"):
             raise ValueError(

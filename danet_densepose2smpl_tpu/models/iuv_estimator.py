@@ -145,10 +145,15 @@ class IUVEstimator(nn.Module):
           part_iuv (B, 24, 56, 56, 3, 7); feats (B, 56, 56, C).
         """
         c = self.cfg
+        backbone_cls = PoseHighResolutionNet if c.iuv_regressor == "hrnet" else PoseResNet
+        if c.remat_backbone and self.train:
+            # jax.checkpoint over the whole backbone: activations are
+            # recomputed in the backward pass instead of held in HBM
+            backbone_cls = nn.remat(backbone_cls)
         if c.iuv_regressor == "hrnet":
-            feats = PoseHighResolutionNet(train=self.train, axis_name=self.axis_name, name="backbone")(image)
+            feats = backbone_cls(train=self.train, axis_name=self.axis_name, name="backbone")(image)
         else:
-            feats = PoseResNet(resnet_nums=c.msres_num_layers, train=self.train, axis_name=self.axis_name, name="backbone")(image)
+            feats = backbone_cls(resnet_nums=c.msres_num_layers, train=self.train, axis_name=self.axis_name, name="backbone")(image)
 
         preds = IUVPredictHead(train=self.train, axis_name=self.axis_name, name="iuv_head")(feats)
         out = dict(preds)

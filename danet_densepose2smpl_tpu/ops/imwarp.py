@@ -98,18 +98,24 @@ def crop_theta(center: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 def _axis_weights(centers, scales, src_size: int, out_size: int, dtype):
     """(..., out, src) bilinear interpolation matrix for a 1-D scale+translate
     map: out-pixel o samples normalized coord scale*((2o+1)/out - 1) + center,
-    align_corners=False, zero padding outside."""
-    o = (2.0 * jnp.arange(out_size, dtype=dtype) + 1.0) / out_size - 1.0
-    xin = scales[..., None] * o + centers[..., None]            # (..., out)
+    align_corners=False, zero padding outside.
+
+    Coordinate math always runs in f32 (bf16 pixel coordinates would shift
+    samples by up to half a pixel); only the final weight matrix is cast to
+    `dtype`, which also pins the crop einsums' dtype under mixed precision
+    regardless of the (possibly promoted) dtype of centers/scales."""
+    f32 = jnp.float32
+    o = (2.0 * jnp.arange(out_size, dtype=f32) + 1.0) / out_size - 1.0
+    xin = scales[..., None].astype(f32) * o + centers[..., None].astype(f32)
     u = (xin + 1.0) * (src_size / 2.0) - 0.5                    # pixel coords
-    src = jnp.arange(src_size, dtype=dtype)
+    src = jnp.arange(src_size, dtype=f32)
     w = 1.0 - jnp.abs(u[..., :, None] - src)                    # (..., out, src)
     w = jnp.clip(w, 0.0, 1.0)
     # zero-pad semantics: weights for out-of-range taps fall out naturally
     # because |u - src| >= 1 for all src when u is far outside; the partial
     # edge tap (u in [-1, 0] or [S-1, S]) keeps its single-sided weight,
     # matching grid_sample's zero padding.
-    return w
+    return w.astype(dtype)
 
 
 def separable_crop(images: jnp.ndarray, centers: jnp.ndarray, scales: jnp.ndarray, out_size: int) -> jnp.ndarray:

@@ -86,6 +86,12 @@ def make_train_step(
     keypoint projection, GT IUV rendering — runs inside the same jit.
     """
     optimizer = make_optimizer(cfg)
+    # Mixed precision (compute_dtype='bfloat16'): the model forward runs in
+    # bf16 (params cast per step, activations follow), while master params,
+    # optimizer moments, BatchNorm statistics (flax computes them in f32
+    # regardless of input dtype), GT preparation and every loss stay fp32.
+    # Gradients arrive fp32 through the cast's transpose.
+    mp_dtype = jnp.bfloat16 if cfg.danet.compute_dtype == "bfloat16" else None
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         if "opt_pose" in batch and "opt_rotmat" not in batch:
@@ -93,13 +99,25 @@ def make_train_step(
         jit_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
+            if mp_dtype is not None:
+                from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+
+                fwd_params = cast_float_tree(params, mp_dtype)
+                img = batch["img"].astype(mp_dtype)
+            else:
+                fwd_params, img = params, batch["img"]
             out, mutated = train_model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img"],
+                {"params": fwd_params, "batch_stats": state.batch_stats},
+                img,
                 pretrain_mode=pretrain_mode,
                 mutable=["batch_stats"],
                 rngs={"jitter": jit_rng, "partdrop": drop_rng},
             )
+            if mp_dtype is not None:
+                out = jax.tree.map(
+                    lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") and x.dtype == mp_dtype else x,
+                    out,
+                )
             total, losses = compute_losses(
                 cfg.danet, smpl, out, batch, pretrain_mode=pretrain_mode,
                 openpose_weight=cfg.train.openpose_train_weight,

@@ -74,3 +74,28 @@ def test_overfit_fixture_loss_drops(tmp_path):
     if "loss_IndexUV" in rows[0]:
         iuv = np.array([r.get("loss_IndexUV", np.nan) for r in rows])
         assert iuv[-3:].mean() < iuv[:3].mean()
+
+
+@pytest.mark.slow
+def test_overfit_bf16_mixed_precision():
+    """compute_dtype='bfloat16': the mixed-precision train step (bf16
+    forward, fp32 master params/BN stats/losses) must also learn.
+
+    Runs in a subprocess with a clean single-device CPU backend: under the
+    conftest's 8-virtual-device flag, CPU bf16 emulation degrades from
+    ~0.1 s to >30 s per step (measured), which would blow any test budget.
+    The body lives in tests/bf16_overfit_main.py."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    script = os.path.join(os.path.dirname(__file__), "bf16_overfit_main.py")
+    res = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, env=env,
+        timeout=560, cwd=os.path.dirname(os.path.dirname(script)),
+    )
+    assert "BF16_OK" in res.stdout, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"

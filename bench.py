@@ -3,9 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: imgs/sec/chip through the full flagship pipeline (DaNet HRNet-W48 +
-decomposed GCN regressor + SMPL LBS to 6890 vertices), batch 64, bf16
+decomposed GCN regressor + SMPL LBS to 6890 vertices), batch 256, bf16
 params/activations (the serving configuration; parameter outputs deviate
-<=0.0015 from fp32, the SMPL head runs fp32). Training stays fp32.
+<=0.0015 from fp32, the SMPL head runs fp32). Batch sweep on v5e: 64 ->
+1135, 128 -> 1350, 256 -> 1447 imgs/s (small-channel HRNet convs want many
+rows to fill the MXU), 512 -> OOM; 256 is the serving operating point.
+Training defaults to fp32 (see PERF.md for the bf16+remat training mode).
 
 Baseline (BASELINE.md north star): >=10x PyTorch-CPU imgs/sec. The PyTorch
 reference cannot run in this container (its CUDA/smplx deps are absent), so
@@ -36,7 +39,7 @@ def main():
     from danet_densepose2smpl_tpu.models.danet import DaNet
     from danet_densepose2smpl_tpu.smpl import smpl_forward, synthetic_smpl_model
 
-    B = 64
+    B = 256
     cfg = DaNetConfig()
     model = DaNet(cfg, train=False)
     smpl = synthetic_smpl_model()  # full 6890-vertex body
@@ -66,7 +69,7 @@ def main():
     # warmup / compile (forced host fetch)
     float(forward(variables, smpl_arrays, image))
 
-    n_iters = 20
+    n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = forward(variables, smpl_arrays, image)

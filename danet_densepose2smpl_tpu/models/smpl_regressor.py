@@ -78,8 +78,8 @@ class PartwiseDense(nn.Module):
     def __call__(self, x):
         # x: (B, P, C)
         init = _xavier_gain(self.init_gain) if self.init_gain is not None else nn.initializers.lecun_normal()
-        w = self.param("kernel", init, (self.num_parts, x.shape[-1], self.out_dim))
-        b = self.param("bias", nn.initializers.zeros, (self.num_parts, self.out_dim))
+        w = self.param("kernel", init, (self.num_parts, x.shape[-1], self.out_dim), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.num_parts, self.out_dim), jnp.float32)
         return jnp.einsum("bpc,pcd->bpd", x, w) + b
 
 
@@ -284,7 +284,7 @@ class DecomposedPredictor(nn.Module):
 
             if r.refine_on:
                 mask = jnp.asarray(refine_edge_mask())
-                edge_imp = self.param("edge_importance", nn.initializers.ones, (24, 24))
+                edge_imp = self.param("edge_importance", nn.initializers.ones, (24, 24), jnp.float32)
                 graph_A = mask * nn.relu(edge_imp)
                 norm_A = normalize_undigraph(jnp.eye(24) + graph_A)
                 refined = GCN(

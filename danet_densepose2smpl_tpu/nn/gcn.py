@@ -34,12 +34,14 @@ class GraphConv(nn.Module):
     def __call__(self, x, adj):
         # x: (B, N, F); adj: (N, N) or (B, N, N)
         y = jnp.einsum("...nm,bmf->bnf" if adj.ndim == 2 else "bnm,bmf->bnf", adj, x)
+        # explicit float32: raw initializers default to f64 under x64
         w = self.param(
             "weight",
             nn.initializers.xavier_uniform(),
             (x.shape[-1], self.out_dim),
+            jnp.float32,
         )
-        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
         return y @ w + b
 
 

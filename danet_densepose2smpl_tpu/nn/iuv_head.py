@@ -69,10 +69,14 @@ class _GroupedConvParams(nn.Module):
 
     @nn.compact
     def __call__(self):
+        # explicit float32 param dtype: raw self.param initializers default
+        # to float64 under jax_enable_x64 (the f64 checkpoint-parity tests),
+        # whereas nn.Conv's param_dtype always defaults to float32
         kernel = self.param(
-            "kernel", _head_init(), (3, 3, self.in_per_group, self.out_total)
+            "kernel", _head_init(), (3, 3, self.in_per_group, self.out_total),
+            jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.out_total,))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_total,), jnp.float32)
         return kernel, bias
 
 

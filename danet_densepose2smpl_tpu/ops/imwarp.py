@@ -100,15 +100,17 @@ def _axis_weights(centers, scales, src_size: int, out_size: int, dtype):
     map: out-pixel o samples normalized coord scale*((2o+1)/out - 1) + center,
     align_corners=False, zero padding outside.
 
-    Coordinate math always runs in f32 (bf16 pixel coordinates would shift
-    samples by up to half a pixel); only the final weight matrix is cast to
-    `dtype`, which also pins the crop einsums' dtype under mixed precision
-    regardless of the (possibly promoted) dtype of centers/scales."""
-    f32 = jnp.float32
-    o = (2.0 * jnp.arange(out_size, dtype=f32) + 1.0) / out_size - 1.0
-    xin = scales[..., None].astype(f32) * o + centers[..., None].astype(f32)
+    Coordinate math runs in at least f32 (bf16 pixel coordinates would shift
+    samples by up to half a pixel), and in f64 when `dtype` is f64 (the
+    checkpoint-parity tests demand exact agreement with the f64 torch twin);
+    only the final weight matrix is cast to `dtype`, which pins the crop
+    einsums' dtype under mixed precision regardless of the (possibly
+    promoted) dtype of centers/scales."""
+    ct = jnp.promote_types(jnp.float32, dtype)
+    o = (2.0 * jnp.arange(out_size, dtype=ct) + 1.0) / out_size - 1.0
+    xin = scales[..., None].astype(ct) * o + centers[..., None].astype(ct)
     u = (xin + 1.0) * (src_size / 2.0) - 0.5                    # pixel coords
-    src = jnp.arange(src_size, dtype=f32)
+    src = jnp.arange(src_size, dtype=ct)
     w = 1.0 - jnp.abs(u[..., :, None] - src)                    # (..., out, src)
     w = jnp.clip(w, 0.0, 1.0)
     # zero-pad semantics: weights for out-of-range taps fall out naturally

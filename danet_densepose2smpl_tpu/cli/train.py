@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--num_samples", type=int, default=16)
     p.add_argument("--img_size", type=int, default=None)
     p.add_argument("--data_parallel", action="store_true", help="shard the batch over all devices")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 forward, fp32 master "
+                        "params/BN stats/losses (compute_dtype=bfloat16)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the IUV backbone in backward "
+                        "(fits batch 64 on 16GB HBM; see PERF.md)")
     args = p.parse_args(argv)
 
     from danet_densepose2smpl_tpu.core.config import load_config
@@ -65,6 +71,10 @@ def main(argv=None):
         overrides["train.summary_steps"] = args.summary_steps
     overrides["train.batch_size"] = args.batch_size
     overrides["train.train_data"] = args.train_data
+    if args.bf16:
+        overrides["danet.compute_dtype"] = "bfloat16"
+    if args.remat:
+        overrides["danet.remat_backbone"] = True
     if overrides:
         from danet_densepose2smpl_tpu.core.config import load_config as _lc
 

@@ -6,7 +6,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # 8 virtual devices time-share this host's core(s): one replica's conv
+    # can take minutes before its peers reach the all-reduce rendezvous, and
+    # XLA's stuck-collective watchdog then ABORTS the process (observed:
+    # xla::cpu::InProcessCommunicator::AllReduce -> AwaitAndLogIfStuck ->
+    # SIGABRT on a 1-core container). Give the watchdog test-scale budgets.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+               " --xla_cpu_collective_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

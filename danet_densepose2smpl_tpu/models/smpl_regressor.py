@@ -331,7 +331,12 @@ class DecomposedPredictor(nn.Module):
         b = rot_feats.shape[0]
         f = r.feat_dim
 
-        init_pose = PartwiseDense(rot_dim, init_gain=0.01, name="pose_regressor_0")(rot_feats)
+        # 'lstm_direct' heads always emit raw 9-channel rotmats — no 6D
+        # param, no mean-pose residual (reference smpl_regressor.py:518-525,
+        # :731-766)
+        init_pose = PartwiseDense(
+            9 if direct else rot_dim, init_gain=0.01, name="pose_regressor_0"
+        )(rot_feats)
         if self.train or direct:
             out["joint_rotation"].append(
                 init_pose.reshape(b, -1) if direct else to_rotmat_flat(init_pose)

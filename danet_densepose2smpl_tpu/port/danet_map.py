@@ -224,10 +224,18 @@ def danet_rules(cfg: DaNetConfig) -> list:
                 f"{rpre}.coord_regressors.{s + 1}", rpath + (f"coord_regressor_{s}_post",)
             )
     else:
-        raise NotImplementedError(
-            "checkpoint map for refine_strategy 'lstm_direct' is not wired "
-            "(no released checkpoints use it)"
-        )
+        # 'lstm_direct' (reference smpl_regressor.py:509-525, :727-766):
+        # per-stack 5 Bi-LSTMs + grouped 9-ch pose heads only — no
+        # rot2pos/pos2rot MLPs and no coord regressors
+        rules += grouped_head_rules(f"{rpre}.pose_regressors.0", rpath + ("pose_regressor_0",))
+        for s in range(r.stack_num):
+            for j in range(5):
+                rules += lstm_rules(
+                    f"{rpre}.limb_lstm.{s}.{j}", rpath + (f"lstm_{s}_{j}",)
+                )
+            rules += grouped_head_rules(
+                f"{rpre}.pose_regressors.{s + 1}", rpath + (f"pose_regressor_direct_{s}",)
+            )
     return rules
 
 

@@ -126,3 +126,11 @@ def test_e2e_port_lstm_f64(x64_mode):
     + rot2pos/pos2rot MLPs convert and reproduce exactly (the LSTM numeric
     oracle the round-1 verdict asked for)."""
     _run_e2e("resnet", x64=True, atol=1e-6, refine_strategy="lstm")
+
+
+@pytest.mark.slow
+def test_e2e_port_lstm_direct_f64(x64_mode):
+    """'lstm_direct' refinement (reference smpl_regressor.py:509-525,
+    :727-766): Bi-LSTMs straight on the rotation features + raw 9-channel
+    grouped heads — the r2 verdict's last unwired checkpoint-map strategy."""
+    _run_e2e("resnet", x64=True, atol=1e-6, refine_strategy="lstm_direct")

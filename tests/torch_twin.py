@@ -651,6 +651,90 @@ class TDecomposedPredictorLSTM(tnn.Module):
         return {"para": torch.cat([global_para, smpl_pose], dim=1)}
 
 
+class TDecomposedPredictorLSTMDirect(tnn.Module):
+    """smpl_regressor.py 'lstm_direct' strategy (init :509-525, forward
+    :727-766), eval path: Bi-LSTM chains directly on the rotation features
+    (no rot2pos/pos2rot) -> grouped 9-channel heads emitting raw rotmats
+    with no mean-pose residual and no 6D parametrization."""
+
+    def __init__(self, mean_cam_shape, glo_num_layers=18, limb_num_layers=18,
+                 feat_dim=128, stack_num=1):
+        super().__init__()
+        self.stack_num = stack_num
+        self.register_buffer("mean_cam_shape", torch.as_tensor(mean_cam_shape).reshape(1, 13))
+        self.body_net = tnn.Sequential(
+            tnn.Conv2d(75, 64, 1, bias=False), tnn.BatchNorm2d(64), tnn.ReLU(True),
+            TSmplResNet(glo_num_layers, in_channels=64, num_classes=13),
+        )
+        self.limb_net = tnn.Sequential(
+            tnn.Conv2d(21, 64, 1, bias=False), tnn.BatchNorm2d(64), tnn.ReLU(True),
+            TSmplResNet(limb_num_layers, in_channels=64, num_classes=0, truncate=1),
+        )
+        self.limb_reslayer = TLimbResLayers(limb_num_layers, inplanes=256,
+                                            outplanes=feat_dim, groups=24)
+        self.limb_lstm = tnn.ModuleList()
+        for _ in range(stack_num):
+            self.limb_lstm.append(tnn.ModuleList([
+                tnn.LSTM(feat_dim, feat_dim, num_layers=1, batch_first=True,
+                         bidirectional=True) for _ in range(5)
+            ]))
+        self.pose_regressors = tnn.ModuleList([
+            tnn.Sequential(tnn.AdaptiveAvgPool2d(1),
+                           tnn.Conv2d(feat_dim * 24, 9 * 24, 1, groups=24))
+        ])
+        for _ in range(stack_num):
+            self.pose_regressors.append(tnn.Sequential(
+                tnn.AdaptiveAvgPool2d(1),
+                tnn.Conv2d(feat_dim * 2 * 24, 9 * 24, 1, groups=24)))
+
+    def forward(self, body_iuv, limb_iuv):
+        nbs = body_iuv.size(0)
+        global_para, _ = self.body_net(body_iuv)
+        global_para = global_para + self.mean_cam_shape
+
+        s = limb_iuv.size(-1)
+        _, limb_feat = self.limb_net(limb_iuv.reshape(nbs * 24, -1, s, s))
+        limb_feat = limb_feat["x4"]
+        limb_feat = self.limb_reslayer(
+            limb_feat.reshape(nbs, -1, limb_feat.size(-2), limb_feat.size(-1))
+        )
+        rot_feats = limb_feat.reshape(nbs, 24, -1, 1, 1)
+
+        smpl_pose = self.pose_regressors[0](
+            rot_feats.reshape(nbs, -1, 1, 1)
+        ).reshape(nbs, -1)
+        for s_i in range(self.stack_num):
+            pos_feats = {i: rot_feats[:, i] for i in range(24)}
+
+            pos_feats_refined = {}
+            hidden_feat = None
+            for br in range(len(LIMB_BRANCH_LSTM)):
+                pos_feat_in = torch.stack(
+                    [pos_feats[i] for i in LIMB_BRANCH_LSTM[br]], dim=1
+                ).squeeze(-1).squeeze(-1)
+                if br == 0:
+                    lstm_out, hidden_feat = self.limb_lstm[s_i][0](pos_feat_in)
+                elif br == 1:
+                    lstm_out, _ = self.limb_lstm[s_i][0](pos_feat_in, hidden_feat)
+                elif br in (2, 3):
+                    lstm_out, _ = self.limb_lstm[s_i][br - 1](pos_feat_in, hidden_feat)
+                else:
+                    lstm_out, _ = self.limb_lstm[s_i][br - 1](pos_feat_in)
+                for i, ind in enumerate(LIMB_BRANCH_LSTM[br]):
+                    if ind == 0 and br != 0:
+                        continue
+                    pos_feats_refined[ind] = lstm_out[:, i].unsqueeze(-1).unsqueeze(-1)
+
+            for i in range(24):
+                pos_feats[i] = pos_feats[i].repeat(1, 2, 1, 1) + pos_feats_refined[i]
+
+            part_feats = torch.stack(
+                [pos_feats[i] for i in range(24)], dim=1
+            ).reshape(nbs, -1, 1, 1)
+            smpl_pose = self.pose_regressors[s_i + 1](part_feats).reshape(nbs, -1)
+        return {"para": torch.cat([global_para, smpl_pose], dim=1)}
+
+
 class TSMPLRegressor(tnn.Module):
     def __init__(self, predictor):
         super().__init__()
@@ -671,6 +755,8 @@ class TorchDaNet(tnn.Module):
         mcs = np.concatenate([mean_params.cam, mean_params.shape])
         if refine_strategy == "lstm":
             pred = TDecomposedPredictorLSTM(mcs, mean_params.pose6d)
+        elif refine_strategy == "lstm_direct":
+            pred = TDecomposedPredictorLSTMDirect(mcs)
         else:
             pred = TDecomposedPredictor(mcs, mean_params.pose6d)
         self.iuv2smpl = TSMPLRegressor(pred)

@@ -76,6 +76,11 @@ class DaNetConfig:
     # backbone spec
     msres_num_layers: int = 50       # PoseResNet depth when iuv_regressor='resnet'
     hrnet_width: int = 48
+    # MXU-underfill experiment (PERF.md): zero-pad the 48/96-ch HRNet
+    # branches to 64/128 so convs fill the 128-lane MXU. Numerics-preserving
+    # for ported checkpoints (padded weights are zero); changes the randomly
+    # initialized topology, so OFF by default.
+    hrnet_pad_channels: bool = False
 
     # numerics
     compute_dtype: str = "float32"   # 'bfloat16' flips conv/matmul activations
@@ -114,7 +119,8 @@ class DaNetConfig:
             raise ValueError(
                 f"unknown compute_dtype '{self.compute_dtype}' (supported: "
                 "float32, bfloat16 — bf16 runs the train-step forward in "
-                "mixed precision and is the serving default via --bf16)"
+                "mixed precision, enabled via `train --bf16`; serving casts "
+                "params independently of this knob)"
             )
         if self.iuv_regressor not in ("hrnet", "resnet"):
             raise ValueError(
@@ -138,7 +144,8 @@ class TrainConfig:
     test_steps: int = 10000
     train_data: str = "h36m_dp"      # 'h36m_dp' | 'h36m_coco_itw'
     seed: int = 0
-    prefetch_workers: int = 4        # 0 = synchronous loader (no prefetch)
+    prefetch_workers: int = -1       # -1 = core-count-aware default
+                                     # (PrefetchLoader), 0 = synchronous
 
 
 @dataclass(frozen=True)

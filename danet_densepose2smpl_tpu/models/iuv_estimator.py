@@ -151,7 +151,13 @@ class IUVEstimator(nn.Module):
             # recomputed in the backward pass instead of held in HBM
             backbone_cls = nn.remat(backbone_cls)
         if c.iuv_regressor == "hrnet":
-            feats = backbone_cls(train=self.train, axis_name=self.axis_name, name="backbone")(image)
+            from danet_densepose2smpl_tpu.nn.hrnet import (
+                HRNET_W48_STAGES,
+                HRNET_W48_STAGES_PADDED,
+            )
+
+            stages = HRNET_W48_STAGES_PADDED if c.hrnet_pad_channels else HRNET_W48_STAGES
+            feats = backbone_cls(stages=stages, train=self.train, axis_name=self.axis_name, name="backbone")(image)
         else:
             feats = backbone_cls(resnet_nums=c.msres_num_layers, train=self.train, axis_name=self.axis_name, name="backbone")(image)
 

@@ -31,6 +31,17 @@ HRNET_W48_STAGES = (
     (3, 4, (4, 4, 4, 4), (48, 96, 192, 384)),
 )
 
+# MXU-underfill experiment (PERF.md): the 48/96-ch branches leave the
+# 128-lane MXU partly idle; this variant zero-pads them to sublane/lane
+# multiples (48->64, 96->128; deeper branches already tile). A trained
+# 48/96 checkpoint zero-padded into this topology is numerics-identical
+# (extra channels carry zero weights/BN-bias, so they stay exactly 0).
+HRNET_W48_STAGES_PADDED = (
+    (1, 2, (4, 4), (64, 128)),
+    (4, 3, (4, 4, 4), (64, 128, 192)),
+    (3, 4, (4, 4, 4, 4), (64, 128, 192, 384)),
+)
+
 
 def _upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     x = jnp.repeat(x, factor, axis=1)

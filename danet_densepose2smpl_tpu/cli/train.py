@@ -41,9 +41,12 @@ def main(argv=None):
     p.add_argument("--num_samples", type=int, default=16)
     p.add_argument("--img_size", type=int, default=None)
     p.add_argument("--data_parallel", action="store_true", help="shard the batch over all devices")
-    p.add_argument("--bf16", action="store_true",
-                   help="mixed-precision training: bf16 forward, fp32 master "
-                        "params/BN stats/losses (compute_dtype=bfloat16)")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="decode-only host path: raw frames go to the device "
+                        "and crop+rot+flip+noise+normalize fuses into the "
+                        "jitted train step (uniform frame sizes required)")
+    # NB: --bf16 comes from add_common_args; for training it means mixed
+    # precision (bf16 forward, fp32 master params/BN stats/losses)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the IUV backbone in backward "
                         "(fits batch 64 on 16GB HBM; see PERF.md)")
@@ -94,14 +97,16 @@ def main(argv=None):
         tmp = tempfile.mkdtemp(prefix="danet_train_")
         npz, img_dir = write_synthetic_dataset(tmp, n=args.num_samples, with_dp=True)
         datasets["h36m"] = NpzDataset(npz, img_dir, name="h36m", is_train=True,
-                                      heatmap_size=cfg.danet.heatmap_size)
+                                      heatmap_size=cfg.danet.heatmap_size,
+                                      return_raw=args.device_preprocess)
         args.train_data = "single"
     else:
         for entry in args.datasets:
             name, rest = entry.split("=", 1)
             npz, _, img_dir = rest.partition(":")
             datasets[name] = NpzDataset(npz, img_dir or None, name=name, is_train=True,
-                                        heatmap_size=cfg.danet.heatmap_size)
+                                        heatmap_size=cfg.danet.heatmap_size,
+                                        return_raw=args.device_preprocess)
         if not datasets:
             raise SystemExit("--datasets required (or --synthetic-data)")
 
@@ -120,7 +125,9 @@ def main(argv=None):
         fits = FitsDict.from_datasets(datasets)
 
     # --- image-size coherence for fixture runs ---
-    if args.img_size is not None and args.img_size != 224:
+    # (device_preprocess needs no host resize: the on-device crop already
+    # emits cfg.danet.img_size crops straight from the raw frames)
+    if args.img_size is not None and args.img_size != 224 and not args.device_preprocess:
         train_ds = _Resize(train_ds, args.img_size)
 
     renderer = IUVRenderer(atlas, orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size)

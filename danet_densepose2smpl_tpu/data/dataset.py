@@ -64,10 +64,11 @@ class NpzDataset:
         return_raw: bool = False,
     ):
         # return_raw: emit the decoded full frame ('raw_img', uint8 RGB)
-        # instead of the host crop — the device-preprocess eval path
-        # (data/pipeline.device_preprocess does crop+normalize on device).
-        # Eval-only: augmentation (flip/rot/noise) stays on the host path.
-        assert not (return_raw and is_train), "return_raw is an eval-path mode"
+        # instead of the host crop — the device-preprocess paths
+        # (data/pipeline.device_preprocess[_train] do crop/flip/noise/
+        # normalize on device; uniform frame sizes required). Labels are
+        # still augmented host-side (they're tiny); only the image work
+        # moves to the device.
         self.return_raw = return_raw
         self.name = name or os.path.basename(npz_path)
         self.img_dir = img_dir
@@ -180,6 +181,9 @@ class NpzDataset:
 
         if self.return_raw:
             item["raw_img"] = np.ascontiguousarray(np.clip(img, 0, 255)).astype(np.uint8)
+            # augmentation params the device pipeline replays on the image
+            # (labels below still get the host-side treatment)
+            item["pixel_noise"] = pn.astype(np.float32)
         else:
             rgb = crop(img, center, sc * scale, (IMG_RES, IMG_RES), rot=rot)
             if flip:

@@ -97,9 +97,17 @@ class PrefetchLoader:
     keeps the TPU from starving on host input. Batch contents and order are
     byte-identical to the wrapped loader."""
 
-    def __init__(self, loader: ResumableLoader, depth: int = 2, workers: int = 4):
+    def __init__(self, loader: ResumableLoader, depth: int = 2, workers: int | None = None):
         self.loader = loader
         self.depth = depth
+        if workers is None:
+            # core-count-aware default: 4 decode threads on a 1-core host
+            # thrash below the synchronous rate (PERF.md: 16.1 < 18.9
+            # imgs/s); one producer thread still overlaps host decode with
+            # device compute
+            import os
+
+            workers = max(1, min(4, (os.cpu_count() or 1) - 1)) if (os.cpu_count() or 1) > 1 else 1
         self.workers = workers
 
     def __getattr__(self, name):

@@ -94,6 +94,18 @@ def make_train_step(
     mp_dtype = jnp.bfloat16 if cfg.danet.compute_dtype == "bfloat16" else None
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        if "raw_img" in batch:
+            # device ingest: raw uint8 frames -> augmented normalized crops
+            # inside the same XLA program as forward+backward (the training
+            # half of the BASELINE ingest north star)
+            from danet_densepose2smpl_tpu.data.pipeline import device_preprocess_train
+
+            batch = dict(batch)
+            batch["img"] = device_preprocess_train(
+                batch.pop("raw_img"), batch["center"], batch["scale"],
+                batch["rot_angle"], batch["is_flipped"], batch.pop("pixel_noise"),
+                out_size=cfg.danet.img_size,
+            )
         if "opt_pose" in batch and "opt_rotmat" not in batch:
             batch = prepare_targets(cfg, smpl, batch, renderer=renderer, is_itw=is_itw)
         jit_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))

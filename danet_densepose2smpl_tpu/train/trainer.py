@@ -51,10 +51,11 @@ class Trainer:
         self.start_time = time.time()
 
         self.loader = ResumableLoader(dataset, cfg.train.batch_size, seed=cfg.train.seed)
-        if cfg.train.prefetch_workers > 0:
+        if cfg.train.prefetch_workers != 0:
             from danet_densepose2smpl_tpu.data.loader import PrefetchLoader
 
-            self.loader = PrefetchLoader(self.loader, workers=cfg.train.prefetch_workers)
+            workers = None if cfg.train.prefetch_workers < 0 else cfg.train.prefetch_workers
+            self.loader = PrefetchLoader(self.loader, workers=workers)
         self.model = DaNet(cfg.danet, train=True)
         is_itw = cfg.train.train_data == "h36m_coco_itw"
 
@@ -164,10 +165,23 @@ class Trainer:
         from danet_densepose2smpl_tpu.ops.iuvmap import iuv_map2img
         from danet_densepose2smpl_tpu.utils.vis import denormalize_image
 
+        if "img" in device_batch:
+            imgs = device_batch["img"][:4]
+        else:
+            # raw-ingest batches (--device_preprocess): replay the device
+            # augmentation for the panel
+            from danet_densepose2smpl_tpu.data.pipeline import device_preprocess_train
+
+            imgs = device_preprocess_train(
+                device_batch["raw_img"][:4], device_batch["center"][:4],
+                device_batch["scale"][:4], device_batch["rot_angle"][:4],
+                device_batch["is_flipped"][:4], device_batch["pixel_noise"][:4],
+                out_size=self.cfg.danet.img_size,
+            )
         eval_model = DaNet(self.cfg.danet, train=False)
         out = eval_model.apply(
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
-            device_batch["img"][:4],
+            imgs,
         )
         u, v, i, a = out["iuv_clean"]
         pred_iuv = np.asarray(iuv_map2img(u, v, i, a))
@@ -177,7 +191,7 @@ class Trainer:
         rows = 3 if has_gt else 2
         fig, axes = plt.subplots(rows, n, figsize=(3 * n, 3 * rows), squeeze=False)
         for k in range(n):
-            axes[0][k].imshow(denormalize_image(np.asarray(device_batch["img"][k])))
+            axes[0][k].imshow(denormalize_image(np.asarray(imgs[k])))
             axes[1][k].imshow(np.clip(pred_iuv[k], 0, 1))
             if has_gt:
                 axes[2][k].imshow(np.clip(np.asarray(device_batch["uv_image_gt"][k]), 0, 1))

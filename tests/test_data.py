@@ -206,6 +206,47 @@ def test_device_preprocess_matches_host_crop(rng):
         assert np.median(diff) < 0.01
 
 
+def test_device_preprocess_train_matches_host(rng):
+    """device_preprocess_train (crop+rot+flip+noise+normalize, one jitted
+    program) is the bilinear twin of the host training image path
+    (reference base_dataset.py:145-158,244-251)."""
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.constants import IMG_NORM_MEAN, IMG_NORM_STD
+    from danet_densepose2smpl_tpu.data.pipeline import device_preprocess_train
+    from danet_densepose2smpl_tpu.data.transforms import flip_img
+
+    yy, xx = np.mgrid[0:180, 0:160]
+    img = np.stack([yy, xx, (yy + xx) * 0.7], -1).astype(np.uint8)  # smooth
+    imgs = np.stack([img, img[::-1].copy(), img[:, ::-1].copy()])
+    centers = np.array([[80.0, 90.0], [70.0, 100.0], [75.0, 95.0]], np.float32)
+    scales = np.array([0.55, 0.45, 0.5], np.float32)
+    rots = np.array([0.0, 25.0, -40.0], np.float32)
+    flips = np.array([0.0, 1.0, 1.0], np.float32)
+    pn = rng.uniform(0.7, 1.3, (3, 3)).astype(np.float32)
+
+    got = np.asarray(
+        device_preprocess_train(
+            jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales),
+            jnp.asarray(rots), jnp.asarray(flips), jnp.asarray(pn), out_size=64,
+        )
+    )
+
+    for i in range(3):
+        ref = crop(imgs[i].astype(np.float32), centers[i], scales[i], (64, 64),
+                   rot=float(rots[i]))
+        if flips[i]:
+            ref = flip_img(ref)
+        ref = np.clip(ref * pn[i], 0, 255) / 255.0
+        ref = (ref - IMG_NORM_MEAN) / IMG_NORM_STD
+        diff = np.abs(got[i, 2:-2, 2:-2] - ref[2:-2, 2:-2])
+        # residual is cv2's 5-bit fixed-point interpolation; the affine
+        # itself is exact (crop_thetas inverts get_transform analytically)
+        assert np.median(diff) < 0.005, np.median(diff)
+        assert np.percentile(diff, 95) < 0.01, np.percentile(diff, 95)
+        assert diff.max() < 0.05, diff.max()
+
+
 def test_prefetch_loader_identical_batches(tmp_path):
     """PrefetchLoader must yield byte-identical batches in the same order as
     the synchronous ResumableLoader (same per-sample RNG derivation)."""

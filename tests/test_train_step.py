@@ -67,6 +67,29 @@ def test_pretrain_mode_step(setup):
 
 
 @pytest.mark.slow
+def test_train_step_device_ingest(setup):
+    """Raw-frame batches: crop+rot+flip+noise+normalize fuse into the jitted
+    train step (cli/train.py --device_preprocess; the training half of the
+    BASELINE ingest north star)."""
+    cfg, model, smpl, batch, state = setup
+    rng = np.random.RandomState(7)
+    b = 8
+    raw = dict(batch)
+    del raw["img"]
+    raw["raw_img"] = (rng.rand(b, 96, 96, 3) * 255).astype(np.uint8)
+    raw["center"] = np.tile([48.0, 48.0], (b, 1)).astype(np.float32)
+    raw["scale"] = np.full((b,), 0.4, np.float32)  # 80px box
+    raw["rot_angle"] = rng.uniform(-30, 30, b).astype(np.float32)
+    raw["is_flipped"] = (rng.rand(b) > 0.5).astype(np.float32)
+    raw["pixel_noise"] = rng.uniform(0.8, 1.2, (b, 3)).astype(np.float32)
+
+    step = make_train_step(model, smpl, cfg, donate=False)
+    state2, metrics = step(state, jax.tree.map(jnp.asarray, raw), jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss_total"]))
+
+
+@pytest.mark.slow
 def test_multi_device_step_matches_single(setup):
     cfg, model, smpl, batch, state = setup
     assert jax.device_count() == 8, "conftest must set 8 virtual CPU devices"

@@ -57,12 +57,18 @@ def main(argv=None):
                     heatmap_size=cfg.danet.heatmap_size)
     loader = ResumableLoader(ds, args.batch_size, shuffle=False, drop_last=False)
 
+    import jax
+
     def infer_fn(img):
-        return model.apply(variables, img)["para"]
+        out = model.apply(variables, img)
+        # per-keypoint confidence source: predicted foreground probability
+        # (1 - P(background) of the 25-ch part-index softmax)
+        fg_prob = 1.0 - jax.nn.softmax(out["iuv_raw"]["index"], axis=-1)[..., 0]
+        return out["para"], fg_prob
 
     ap, preds = run_coco_eval(
         infer_fn, loader.epoch(0), smpl, img_res=cfg.danet.img_size,
-        imgnames=ds.imgname, gt_json=args.coco_gt_json,
+        imgnames=ds.imgname, gt_json=args.coco_gt_json, fg_conf=True,
     )
 
     # markdown table in the reference's _print_name_value layout

@@ -27,10 +27,27 @@ def transform_preds(coords: np.ndarray, center, scale, res) -> np.ndarray:
     return (homo @ t.T)[:, :2]
 
 
-def make_coco_step(infer_fn, smpl: SMPLModel, img_res: int = IMG_RES):
+def make_coco_step(infer_fn, smpl: SMPLModel, img_res: int = IMG_RES, fg_conf: bool = False):
+    """Jitted batch step: images -> (COCO-17 crop-pixel keypoints, per-
+    keypoint confidences).
+
+    With `fg_conf`, `infer_fn` returns `(para, fg_prob)` where fg_prob is
+    the (B, S, S) predicted foreground probability (1 - P(background) of
+    the 25-ch part-index softmax); confidence is fg_prob bilinearly sampled
+    at each projected joint. The reference's pose-estimation lineage scores
+    keypoints by heatmap maxvals (`coco_keypoint_dataset.py:316-340`); the
+    projected-SMPL path has no per-joint heatmap maxval, so body-evidence-
+    at-the-projected-joint is the analogous graded signal — it makes
+    `rescore_detections`'s PR ordering non-degenerate (without it every
+    score is box_score, reference eval_coco.py behavior)."""
+    from danet_densepose2smpl_tpu.ops.imwarp import grid_sample_bilinear
+
     @jax.jit
     def step(images):
-        para = infer_fn(images)
+        if fg_conf:
+            para, fg_prob = infer_fn(images)
+        else:
+            para, fg_prob = infer_fn(images), None
         cam = para[:, :3]
         betas = para[:, 3:13]
         rotmat = para[:, 13:].reshape(-1, 24, 3, 3)
@@ -42,8 +59,15 @@ def make_coco_step(infer_fn, smpl: SMPLModel, img_res: int = IMG_RES):
         kp = perspective_projection(
             j_coco, jnp.broadcast_to(jnp.eye(3), (b, 3, 3)), cam_t,
             FOCAL_LENGTH, jnp.zeros((b, 2)),
-        )
-        return kp + img_res / 2.0
+        ) + img_res / 2.0
+        if fg_prob is None:
+            conf = jnp.ones(kp.shape[:2], kp.dtype)
+        else:
+            grid = 2.0 * kp / img_res - 1.0                    # (B, 17, 2)
+            conf = jax.vmap(
+                lambda f, g: grid_sample_bilinear(f[..., None], g[:, None, :])[:, 0, 0]
+            )(fg_prob, grid)
+        return kp, conf
 
     return step
 
@@ -97,27 +121,32 @@ def run_coco_eval(
     log_every: int = 10,
     imgnames=None,
     gt_json: str | None = None,
+    fg_conf: bool = False,
 ):
     """Returns (stats_dict, all_preds (N, 17, 3) in original image coords).
 
     Detections are grouped per true COCO image (multi-person images evaluate
     jointly) and rescored per person by mean keypoint confidence x box score
-    (reference `coco_keypoint_dataset.py:287-340`; like the reference, the
-    model emits no per-keypoint confidence, so all confidences are 1 and the
-    rescored score equals the box score). GT comes from `gt_json` when given
-    (exact COCOeval ground truth incl. crowd regions); otherwise it is
-    rebuilt from the npz keypoints with bbox area from center/scale.
+    (reference `coco_keypoint_dataset.py:287-340`). With `fg_conf` (see
+    `make_coco_step`), per-keypoint confidences come from the predicted
+    foreground probability at each projected joint, giving a non-degenerate
+    PR ordering; without it, confidences are 1 and the rescored score
+    equals the box score (the reference eval_coco.py behavior). GT comes
+    from `gt_json` when given (exact COCOeval ground truth incl. crowd
+    regions); otherwise it is rebuilt from the npz keypoints with bbox area
+    from center/scale.
 
     Each loader batch must carry img/center/scale/keypoints (GT keypoints in
     [-1, 1] crop coords) and sample indices b into `imgnames`.
     """
-    step = make_coco_step(infer_fn, smpl, img_res)
+    step = make_coco_step(infer_fn, smpl, img_res, fg_conf=fg_conf)
 
     detections, gts_list = [], []
     all_preds = []
     n_done = 0
     for b, batch in loader:
-        coords = np.asarray(step(jnp.asarray(batch["img"])))
+        coords, confs = step(jnp.asarray(batch["img"]))
+        coords, confs = np.asarray(coords), np.asarray(confs)
         center = np.asarray(batch["center"])
         scale = np.asarray(batch["scale"])
         kp_gt = np.asarray(batch["keypoints"])  # (B, 49, 3) in [-1, 1]
@@ -132,7 +161,7 @@ def run_coco_eval(
                 else int(idxs[i])
             )
             pred_orig = transform_preds(coords[i], center[i], float(scale[i]), (img_res, img_res))
-            pred = np.concatenate([pred_orig, np.ones((17, 1))], axis=1)
+            pred = np.concatenate([pred_orig, confs[i][:, None].astype(np.float64)], axis=1)
             all_preds.append(pred)
             detections.append({"image_id": img_id, "keypoints": pred, "box_score": 1.0})
 

@@ -325,3 +325,43 @@ def test_rescore_matches_reference_formula(rng):
     dts = [{"image_id": 0, "keypoints": np.zeros((17, 3)), "box_score": 0.7}]
     rescore_detections(dts)
     assert dts[0]["score"] == 0.0
+
+
+def test_fg_conf_rescoring_orders_detections(rng):
+    """make_coco_step(fg_conf=True): per-keypoint confidences come from the
+    foreground probability sampled at the projected joints, and
+    rescore_detections then yields a non-degenerate score ordering
+    (r2 verdict item #8; without fg_conf every score == box_score)."""
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.eval.coco_harness import make_coco_step
+    from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
+
+    smpl = synthetic_smpl_model(num_verts=300, seed=0)
+    B = 2
+    para = np.zeros((B, 229), np.float32)
+    para[:, 0] = 0.9  # weak-perspective scale
+    para[:, 13:] = np.tile(np.eye(3).reshape(9), 24)
+    # image 0 sees strong body evidence everywhere, image 1 weak
+    fg = np.stack([np.full((56, 56), 0.9), np.full((56, 56), 0.3)]).astype(np.float32)
+
+    step = make_coco_step(
+        lambda img: (jnp.asarray(para), jnp.asarray(fg)), smpl, img_res=224, fg_conf=True
+    )
+    kp, conf = step(jnp.zeros((B, 224, 224, 3), jnp.float32))
+    kp, conf = np.asarray(kp), np.asarray(conf)
+    assert conf.shape == (B, 17)
+    assert conf[0].mean() > conf[1].mean()
+
+    dts = [
+        {"image_id": i, "keypoints": np.concatenate([kp[i], conf[i][:, None]], 1),
+         "box_score": 1.0}
+        for i in range(B)
+    ]
+    rescore_detections(dts)
+    assert dts[0]["score"] > dts[1]["score"] > 0.0
+
+    # constant-confidence path (fg_conf=False) stays reference-degenerate
+    step0 = make_coco_step(lambda img: jnp.asarray(para), smpl, img_res=224)
+    _, conf0 = step0(jnp.zeros((B, 224, 224, 3), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(conf0), 1.0)

@@ -97,14 +97,28 @@ class DaNet(nn.Module):
             est = IUVEstimator(c, train=self.train, axis_name=self.axis_name, name="img2iuv")(image)
         out = {"iuv_raw": est}
 
+        # GT part crops bypass the per-part clean: the reference consumes
+        # `part_iuv_gt` directly as `part_iuv_map` (danet.py:88-90,249-251)
+        # while predicted stacks go through per-part iuvmap_clean (:92-98).
+        part_is_gt = c.input_mode == "iuv_gt"
+
         if c.input_mode == "iuv_gt_feat":
-            # global IUV maps come from the GT render, partial stacks and
-            # backbone features from the estimator (reference danet.py:73-76,
-            # :185-187: img2iuv(image) + iuv_img2map(uv_image_gt))
+            # global IUV maps come from the GT render, backbone features from
+            # the estimator (reference danet.py:74-77,185-187). Training
+            # additionally feeds the limb branch GT part crops taken with the
+            # estimator's detached STN thetas (reference danet.py:249-262 uses
+            # `part_iuv_gt` from iuv_estimator.py:217-248); inference has no
+            # GT crops and keeps the estimator's predicted stacks (:75-76,
+            # :88-98).
             from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
+            from danet_densepose2smpl_tpu.train.objective import part_iuv_gt_crops
 
             assert uv_image_gt is not None, "input_mode='iuv_gt_feat' needs uv_image_gt"
             u, v, index, ann = iuv_img2map(uv_image_gt)
+            if self.train:
+                est = dict(est)
+                est["part_iuv"] = part_iuv_gt_crops(u, v, index, est["stn_theta"])
+                part_is_gt = True
         else:
             u, v, index, ann = est["u"], est["v"], est["index"], est["ann"]
         part_iuv = est.get("part_iuv")
@@ -131,7 +145,7 @@ class DaNet(nn.Module):
         pfeats = est.get("part_feats") if feat_mode else None
 
         if c.decomposed:
-            part_map = clean_part_stacks(part_iuv)
+            part_map = part_iuv if part_is_gt else clean_part_stacks(part_iuv)
             out["part_iuv_clean"] = part_map
             if c.input_mode == "feat":
                 body_in, part_in = None, None

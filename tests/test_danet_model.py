@@ -238,6 +238,36 @@ def test_iuv_gt_feat_mode(rng):
     assert np.isfinite(np.asarray(out["para"])).all()
 
 
+def test_iuv_gt_feat_train_uses_gt_part_crops(rng):
+    """Training-time 'iuv_gt_feat' feeds the limb branch GT part crops taken
+    with the estimator's detached STN thetas (reference danet.py:249-262),
+    not the estimator's predicted stacks, and skips the per-part clean
+    (danet.py:88-90 consumes `part_iuv_gt` directly)."""
+    from danet_densepose2smpl_tpu.train.objective import part_iuv_gt_crops
+    from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
+
+    cfg = small_cfg(input_mode="iuv_gt_feat", img_size=64, heatmap_size=16,
+                    partdrop_rate=0.0)
+    model = DaNet(cfg, train=True)
+    B, s = 2, 16
+    part = rng.randint(0, 25, (B, s, s)).astype(np.float32)
+    uv_gt = jnp.asarray(np.stack(
+        [part / 24, rng.rand(B, s, s) * (part > 0), rng.rand(B, s, s) * (part > 0)], -1
+    ).astype(np.float32))
+    img = jnp.asarray(rng.rand(B, 64, 64, 3).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1),
+            "partdrop": jax.random.PRNGKey(2)}
+    v = model.init(rngs, img, uv_image_gt=uv_gt)
+    out, _ = model.apply(v, img, uv_image_gt=uv_gt, rngs=rngs,
+                         mutable=["batch_stats"])
+
+    u, vv, idx, _ = iuv_img2map(uv_gt)
+    exp = np.asarray(part_iuv_gt_crops(u, vv, idx, out["iuv_raw"]["stn_theta"]))
+    np.testing.assert_allclose(np.asarray(out["part_iuv_clean"]), exp, atol=1e-5)
+    # the raw estimator stacks are untouched (they still feed the part loss)
+    assert np.abs(np.asarray(out["iuv_raw"]["part_iuv"]) - exp).max() > 1e-3
+
+
 def test_feat_mode_gradient_routing(rng):
     """In 'feat' mode the regressor consumes backbone features directly: the
     parameter loss must reach the backbone but NOT the global IUV heads

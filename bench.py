@@ -1,14 +1,21 @@
-"""End-to-end inference benchmark: image -> IUV -> SMPL params -> vertices.
+"""End-to-end benchmark: serving inference + flagship training throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one labeled JSON line per metric; the LAST line is always the
+serving-inference metric {"metric", "value", "unit", "vs_baseline"} the
+driver parses. Earlier lines record flagship train-step throughput
+(fp32 B=16 — the reference's batch size — and bf16+remat B=64, the
+high-throughput training mode from PERF.md) so the training numbers are
+driver-captured, not just self-reported.
 
-Metric: imgs/sec/chip through the full flagship pipeline (DaNet HRNet-W48 +
-decomposed GCN regressor + SMPL LBS to 6890 vertices), batch 256, bf16
-params/activations (the serving configuration; parameter outputs deviate
-<=0.0015 from fp32, the SMPL head runs fp32). Batch sweep on v5e: 64 ->
-1135, 128 -> 1350, 256 -> 1447 imgs/s (small-channel HRNet convs want many
-rows to fill the MXU), 512 -> OOM; 256 is the serving operating point.
-Training defaults to fp32 (see PERF.md for the bf16+remat training mode).
+Inference metric: imgs/sec/chip through the full flagship pipeline (DaNet
+HRNet-W48 + decomposed GCN regressor + SMPL LBS to 6890 vertices), batch
+256, bf16 params/activations (the serving configuration; parameter outputs
+deviate <=0.0015 from fp32, the SMPL head runs fp32). Batch sweep on v5e:
+64 -> 1135, 128 -> 1350, 256 -> 1447 imgs/s (small-channel HRNet convs want
+many rows to fill the MXU), 512 -> OOM; 256 is the serving operating point.
+This is a COMPUTE-CEILING number: the batch is pre-staged on device (no
+H2D, no input pipeline) — see PERF.md's ingest section for the measured
+end-to-end pipeline rates.
 
 Baseline (BASELINE.md north star): >=10x PyTorch-CPU imgs/sec. The PyTorch
 reference cannot run in this container (its CUDA/smplx deps are absent), so
@@ -17,7 +24,7 @@ the recorded stand-in baseline is this same pipeline on one CPU process
 is then vs_baseline >= 10.
 
 Timing note: on the tunneled axon TPU platform `block_until_ready` does not
-actually wait, so the loop pipelines N batches and then forces a scalar
+actually wait, so the loops pipeline N batches and then force a scalar
 device-to-host fetch (which cannot complete before the compute has) —
 sustained-throughput timing that is honest on every backend.
 """
@@ -25,18 +32,70 @@ sustained-throughput timing that is honest on every backend.
 from __future__ import annotations
 
 import json
+import os
 import time
+import traceback
 
 CPU_BASELINE_IMGS_PER_SEC = 0.171  # measured: this pipeline, JAX CPU, B=16
 
 
-def main():
+def bench_train():
+    """Flagship train-step throughput: one JSON line per mode."""
     import jax
     import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from danet_densepose2smpl_tpu.core.config import Config, DaNetConfig, replace
+    from danet_densepose2smpl_tpu.data import synthetic_batch
+    from danet_densepose2smpl_tpu.models.danet import DaNet
+    from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
+    from danet_densepose2smpl_tpu.train import create_train_state, make_train_step
+
+    smpl = synthetic_smpl_model()  # full 6890-vertex body
+    modes = [
+        ("train_fp32_b16", 16, {}),
+        ("train_bf16_remat_b64", 64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
+    ]
+    for name, batch_size, danet_kw in modes:
+        cfg = Config(danet=replace(DaNetConfig(), **danet_kw)) if danet_kw else Config()
+        model = DaNet(cfg.danet, train=True)
+        batch = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, batch_size, num_verts=6890))
+        state = create_train_state(
+            model, cfg, jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+        )
+        step = make_train_step(model, smpl, cfg, donate=True)
+        rng = jax.random.PRNGKey(1)
+        state, metrics = step(state, batch, rng)  # warmup/compile
+        float(metrics["loss_total"])              # forced host fetch
+
+        n_iters = 10
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, metrics = step(state, batch, rng)
+        float(metrics["loss_total"])  # D2H fetch: completes after all steps
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": f"danet_{name}_imgs_per_sec",
+                    "value": round(batch_size * n_iters / dt, 2),
+                    "unit": "imgs/sec/chip",
+                }
+            ),
+            flush=True,
+        )
+        del state, step, batch  # release HBM before the next mode
+
+
+def bench_inference():
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
     import numpy as np
 
     from danet_densepose2smpl_tpu.core.config import DaNetConfig
     from danet_densepose2smpl_tpu.models.danet import DaNet
+    from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
     from danet_densepose2smpl_tpu.smpl import smpl_forward, synthetic_smpl_model
 
     B = 256
@@ -47,10 +106,6 @@ def main():
     rng = np.random.RandomState(0)
     image = jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32))
     variables = model.init({"params": jax.random.PRNGKey(0)}, image[:1])
-
-    import jax.tree_util as jtu
-
-    from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
 
     smpl_arrays = jtu.tree_map(jnp.asarray, smpl)
     variables = cast_float_tree(variables, jnp.bfloat16)
@@ -69,7 +124,7 @@ def main():
     # warmup / compile (forced host fetch)
     float(forward(variables, smpl_arrays, image))
 
-    n_iters = 8
+    n_iters = 16
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = forward(variables, smpl_arrays, image)
@@ -85,8 +140,21 @@ def main():
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(imgs_per_sec / CPU_BASELINE_IMGS_PER_SEC, 2),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            bench_train()
+        except Exception:
+            # never let the training bench take down the headline metric
+            print(json.dumps({"metric": "danet_train_bench_error",
+                              "value": traceback.format_exc().strip().splitlines()[-1]}),
+                  flush=True)
+    bench_inference()
 
 
 if __name__ == "__main__":

@@ -94,11 +94,15 @@ def test_decomposed_predictor_shapes(rng):
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_decomposed_predictor_train_aux(rng):
-    cfg = small_cfg()
+    # slow tier: the predictor init/trace dominates regardless of map size
+    # (measured 34s at both 56px and 28px on 1 CPU); the aux structure is
+    # also exercised by the fast full-model train test
+    cfg = small_cfg(heatmap_size=28)
     m = DecomposedPredictor(cfg, default_mean_params(), train=True)
-    iuv = jnp.zeros((2, 56, 56, 75))
-    part = jnp.zeros((2, 24, 56, 56, 3, 7))
+    iuv = jnp.zeros((2, 28, 28, 75))
+    part = jnp.zeros((2, 24, 28, 28, 3, 7))
     v = m.init({"params": jax.random.PRNGKey(0)}, iuv, part)
     out, _ = m.apply(v, iuv, part, mutable=["batch_stats"])
     assert len(out["joint_rotation"]) == 1 and out["joint_rotation"][0].shape == (2, 216)
@@ -107,9 +111,11 @@ def test_decomposed_predictor_train_aux(rng):
 
 @pytest.fixture(scope="module")
 def danet_setup():
-    cfg = small_cfg()
+    # 128px (divisible by the ResNet stride 32) keeps the fast tier fast; the shape plan scales with cfg and the
+    # slow tier + e2e port tests cover the full 224px topology
+    cfg = small_cfg(img_size=128, heatmap_size=32)
     model = DaNet(cfg, train=False)
-    img = jnp.zeros((2, 224, 224, 3))
+    img = jnp.zeros((2, 128, 128, 3))
     variables = model.init({"params": jax.random.PRNGKey(0)}, img)
     return cfg, model, img, variables
 
@@ -117,25 +123,26 @@ def danet_setup():
 def test_danet_infer_shapes(danet_setup):
     cfg, model, img, variables = danet_setup
     out = model.apply(variables, img)
+    s = cfg.heatmap_size
     assert out["pred_cam"].shape == (2, 3)
     assert out["pred_shape"].shape == (2, 10)
     assert out["pred_rotmat"].shape == (2, 24, 3, 3)
-    assert out["iuv_raw"]["part_iuv"].shape == (2, 24, 56, 56, 3, 7)
-    assert out["iuv_clean"][2].shape == (2, 56, 56, 25)
+    assert out["iuv_raw"]["part_iuv"].shape == (2, 24, s, s, 3, 7)
+    assert out["iuv_clean"][2].shape == (2, s, s, 25)
 
 
 def test_danet_jit_and_finite(danet_setup, rng):
     cfg, model, img, variables = danet_setup
-    img = jnp.asarray(rng.rand(2, 224, 224, 3).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, cfg.img_size, cfg.img_size, 3).astype(np.float32))
     fwd = jax.jit(lambda i: model.apply(variables, i)["para"])
     para = fwd(img)
     assert np.isfinite(np.asarray(para)).all()
 
 
 def test_danet_train_mode_runs(rng):
-    cfg = small_cfg()
+    cfg = small_cfg(img_size=128, heatmap_size=32)
     model = DaNet(cfg, train=True)
-    img = jnp.asarray(rng.rand(2, 224, 224, 3).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
     rngs = {"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1), "partdrop": jax.random.PRNGKey(2)}
     variables = model.init(rngs, img)
     out, mutated = model.apply(
@@ -268,10 +275,13 @@ def test_iuv_gt_feat_train_uses_gt_part_crops(rng):
     assert np.abs(np.asarray(out["iuv_raw"]["part_iuv"]) - exp).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_feat_mode_gradient_routing(rng):
     """In 'feat' mode the regressor consumes backbone features directly: the
     parameter loss must reach the backbone but NOT the global IUV heads
-    (their outputs feed only the IUV losses)."""
+    (their outputs feed only the IUV losses). Slow tier: the whole-model
+    jax.grad CPU compile dominates (~80s) and the property it guards is
+    wiring, covered structurally by the fast input-mode ablation tests."""
     cfg = small_cfg(input_mode="feat", img_size=64, heatmap_size=16)
     model = DaNet(cfg, train=True)
     img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))

@@ -43,15 +43,16 @@ def test_limb_res_layers():
 
 
 def test_iuv_head_channel_plan():
+    # 28px: the channel plan under test is size-independent
     m = IUVPredictHead()
-    x = jnp.zeros((2, 56, 56, 48))
+    x = jnp.zeros((2, 28, 28, 48))
     v = m.init({"params": jax.random.PRNGKey(0)}, x)
     out = m.apply(v, x)
-    assert out["u"].shape == (2, 56, 56, 25)
-    assert out["v"].shape == (2, 56, 56, 25)
-    assert out["index"].shape == (2, 56, 56, 25)
-    assert out["ann"].shape == (2, 56, 56, 15)
-    assert out["heatmaps"].shape == (2, 56, 56, 24)
+    assert out["u"].shape == (2, 28, 28, 25)
+    assert out["v"].shape == (2, 28, 28, 25)
+    assert out["index"].shape == (2, 28, 28, 25)
+    assert out["ann"].shape == (2, 28, 28, 15)
+    assert out["heatmaps"].shape == (2, 28, 28, 24)
 
 
 def test_partial_iuv_head_group_independence():
@@ -70,11 +71,12 @@ def test_partial_iuv_head_group_independence():
 
 
 def test_pose_resnet_output_size():
+    # 128px: the stride plan (in/4) under test is size-independent
     m = PoseResNet(resnet_nums=50)
-    x = jnp.zeros((1, 224, 224, 3))
+    x = jnp.zeros((1, 128, 128, 3))
     v = m.init({"params": jax.random.PRNGKey(0)}, x)
     out = m.apply(v, x)
-    assert out.shape == (1, 56, 56, 256)
+    assert out.shape == (1, 32, 32, 256)
 
 
 @pytest.mark.slow

@@ -39,8 +39,11 @@ import traceback
 CPU_BASELINE_IMGS_PER_SEC = 0.171  # measured: this pipeline, JAX CPU, B=16
 
 
-def bench_train():
-    """Flagship train-step throughput: one JSON line per mode."""
+def bench_train(modes=None):
+    """Flagship train-step throughput: one JSON line per mode.
+
+    `modes`: list of (name, batch_size, danet_cfg_overrides) — default the
+    two headline configurations; scripts/bench_sweep.py passes others."""
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -52,10 +55,11 @@ def bench_train():
     from danet_densepose2smpl_tpu.train import create_train_state, make_train_step
 
     smpl = synthetic_smpl_model()  # full 6890-vertex body
-    modes = [
-        ("train_fp32_b16", 16, {}),
-        ("train_bf16_remat_b64", 64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
-    ]
+    if modes is None:
+        modes = [
+            ("train_fp32_b16", 16, {}),
+            ("train_bf16_remat_b64", 64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
+        ]
     for name, batch_size, danet_kw in modes:
         cfg = Config(danet=replace(DaNetConfig(), **danet_kw)) if danet_kw else Config()
         model = DaNet(cfg.danet, train=True)
@@ -87,7 +91,7 @@ def bench_train():
         del state, step, batch  # release HBM before the next mode
 
 
-def bench_inference():
+def bench_inference(B=256, n_iters=16):
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -98,7 +102,6 @@ def bench_inference():
     from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
     from danet_densepose2smpl_tpu.smpl import smpl_forward, synthetic_smpl_model
 
-    B = 256
     cfg = DaNetConfig()
     model = DaNet(cfg, train=False)
     smpl = synthetic_smpl_model()  # full 6890-vertex body
@@ -124,7 +127,6 @@ def bench_inference():
     # warmup / compile (forced host fetch)
     float(forward(variables, smpl_arrays, image))
 
-    n_iters = 16
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = forward(variables, smpl_arrays, image)
@@ -135,7 +137,8 @@ def bench_inference():
     print(
         json.dumps(
             {
-                "metric": "danet_e2e_inference_imgs_per_sec",
+                "metric": "danet_e2e_inference_imgs_per_sec"
+                          + ("" if B == 256 else f"_b{B}"),
                 "value": round(imgs_per_sec, 2),
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(imgs_per_sec / CPU_BASELINE_IMGS_PER_SEC, 2),

@@ -37,7 +37,22 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="serving mode: cast params/activations to bfloat16")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend (debug/fixture runs, or "
+                        "when no accelerator is attached)")
     return p
+
+
+def apply_platform(args):
+    """Honor --cpu before any jax operation initializes a backend.
+
+    Must be the first jax touch in a CLI main: some environments pin the
+    platform via an env var the config override still beats, but only until
+    the backend exists."""
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def load_assets(args):

@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--out_dir", default="demo_results")
     p.add_argument("--use_opendr", action="store_true", help="(compat flag; shaded mesh panel not rendered)")
     args = p.parse_args(argv)
+    from danet_densepose2smpl_tpu.cli.common import apply_platform
+    apply_platform(args)
 
     import jax
     import jax.numpy as jnp

@@ -47,6 +47,8 @@ def main(argv=None):
     p.add_argument("--cube_parts", default=None,
                    help="SPIN cube_parts.npy (color->part lookup cube)")
     args = p.parse_args(argv)
+    from danet_densepose2smpl_tpu.cli.common import apply_platform
+    apply_platform(args)
 
     import jax.numpy as jnp
 

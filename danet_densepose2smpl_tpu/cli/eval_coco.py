@@ -31,6 +31,8 @@ def main(argv=None):
                         "against the full COCO GT (crowds + all persons) "
                         "exactly as pycocotools COCOeval would")
     args = p.parse_args(argv)
+    from danet_densepose2smpl_tpu.cli.common import apply_platform
+    apply_platform(args)
 
     from danet_densepose2smpl_tpu.core.config import load_config
     from danet_densepose2smpl_tpu.data.dataset import NpzDataset

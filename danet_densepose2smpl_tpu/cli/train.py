@@ -51,6 +51,8 @@ def main(argv=None):
                    help="rematerialize the IUV backbone in backward "
                         "(fits batch 64 on 16GB HBM; see PERF.md)")
     args = p.parse_args(argv)
+    from danet_densepose2smpl_tpu.cli.common import apply_platform
+    apply_platform(args)
 
     from danet_densepose2smpl_tpu.core.config import load_config
     from danet_densepose2smpl_tpu.data.dataset import NpzDataset

@@ -107,7 +107,7 @@ class PrefetchLoader:
             # device compute
             import os
 
-            workers = max(1, min(4, (os.cpu_count() or 1) - 1)) if (os.cpu_count() or 1) > 1 else 1
+            workers = max(1, min(4, (os.cpu_count() or 1) - 1))
         self.workers = workers
 
     def __getattr__(self, name):

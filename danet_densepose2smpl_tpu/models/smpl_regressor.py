@@ -343,9 +343,13 @@ class DecomposedPredictor(nn.Module):
             )
 
         feats = rot_feats
+        smpl_pose = None
         for s_i in range(r.stack_num):
             if direct:
-                pos = {i: feats[:, i] for i in range(24)}
+                # reference :737-740 rebuilds pos from the ORIGINAL rot
+                # features every stack (stacks are independent; only the
+                # last stack's head output survives)
+                pos = {i: rot_feats[:, i] for i in range(24)}
             else:
                 # rot2pos sweep: per-joint MLP on (parent pos, parent rot)
                 pos = {0: feats[:, 0]}
@@ -394,7 +398,8 @@ class DecomposedPredictor(nn.Module):
             if direct:
                 stack = jnp.stack([pos2[i] for i in range(24)], axis=1)
                 local = PartwiseDense(9, name=f"pose_regressor_direct_{s_i}")(stack)
-                return local.reshape(b, -1)
+                smpl_pose = local.reshape(b, -1)  # last stack wins (:766)
+                continue
 
             if c.joint_position_weights > 0 and r.pos_intersupv:
                 stack = jnp.stack([pos2[i] for i in range(24)], axis=1)

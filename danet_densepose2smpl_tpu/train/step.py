@@ -57,9 +57,21 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(model: DaNet, cfg: Config, rng, sample_image) -> TrainState:
+    gt_kwargs = {}
+    if cfg.danet.input_mode in ("iuv_gt", "iuv_gt_feat"):
+        # GT-driven ablation modes consume the rendered GT IUV image (and GT
+        # SMPL keypoints for the oracle STN) in the forward; init with
+        # matching placeholders so the parameter tree includes those paths
+        b = sample_image.shape[0]
+        s = cfg.danet.heatmap_size
+        gt_kwargs = {
+            "uv_image_gt": jnp.zeros((b, s, s, 3), sample_image.dtype),
+            "smpl_kps_gt": jnp.zeros((b, 24, 3), sample_image.dtype),
+        }
     variables = model.init(
         {"params": rng, "jitter": jax.random.fold_in(rng, 1), "partdrop": jax.random.fold_in(rng, 2)},
         sample_image,
+        **gt_kwargs,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -118,12 +130,22 @@ def make_train_step(
                 img = batch["img"].astype(mp_dtype)
             else:
                 fwd_params, img = params, batch["img"]
+            gt_kwargs = {}
+            if cfg.danet.input_mode in ("iuv_gt", "iuv_gt_feat"):
+                # GT-driven ablations consume the rendered GT IUV image (and
+                # GT SMPL keypoints for the oracle STN) inside the forward —
+                # reference danet.py:67-77,249-262. prepare_targets put both
+                # in the batch; a KeyError here means the dataset/renderer
+                # cannot supply them for this mode.
+                gt_kwargs = {"uv_image_gt": batch["uv_image_gt"],
+                             "smpl_kps_gt": batch["target_smpl_kps"]}
             out, mutated = train_model.apply(
                 {"params": fwd_params, "batch_stats": state.batch_stats},
                 img,
                 pretrain_mode=pretrain_mode,
                 mutable=["batch_stats"],
                 rngs={"jitter": jit_rng, "partdrop": drop_rng},
+                **gt_kwargs,
             )
             if mp_dtype is not None:
                 out = jax.tree.map(

@@ -181,6 +181,30 @@ def test_refine_strategy_variants(strategy, rng):
 
 
 @pytest.mark.slow
+def test_lstm_direct_multi_stack(rng):
+    """stack_num=2 'lstm_direct' must build and run BOTH stacks (reference
+    smpl_regressor.py:737-766 reruns the LSTM refinement per stack and keeps
+    the last head's output; a regression here silently dropped stack 1)."""
+    cfg = small_cfg(refine_strategy="lstm_direct",
+                    refinement=RefinementConfig(stack_num=2))
+    m = DecomposedPredictor(cfg, default_mean_params(), train=False)
+    iuv = jnp.zeros((1, 16, 16, 75))
+    part = jnp.zeros((1, 24, 16, 16, 3, 7))
+    v = m.init({"params": jax.random.PRNGKey(0)}, iuv, part)
+    names = set(v["params"])
+    # stack-1 modules exist: LSTMs and the grouped direct head
+    assert "lstm_1_0" in names and "pose_regressor_direct_1" in names, sorted(names)
+    out = m.apply(v, iuv, part)
+    assert out["para"].shape == (1, 229)
+    # the checkpoint map covers the 2-stack topology end-to-end
+    from danet_densepose2smpl_tpu.port.danet_map import danet_rules
+
+    joined = {"/".join(map(str, dest)) for _, dest, _ in danet_rules(cfg)}
+    assert any("pose_regressor_direct_1" in p for p in joined)
+    assert any("lstm_1_0" in p for p in joined)
+
+
+@pytest.mark.slow
 def test_iuv_gt_oracle_mode(rng):
     """'iuv_gt' input mode: GT IUV maps drive the regressor; the learned STN
     ratio/offset receive gradients (reference iuv_estimator.py:26-28)."""

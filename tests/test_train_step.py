@@ -67,6 +67,29 @@ def test_pretrain_mode_step(setup):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mode", ["iuv_gt", "iuv_gt_feat"])
+def test_train_step_gt_input_modes(mode, setup):
+    """The GT-driven ablation modes must be trainable through the REAL
+    jitted step: step_fn passes uv_image_gt / target_smpl_kps into the
+    forward (reference danet.py:67-77,249-262). Regression guard for the
+    r3 review finding that the iuv_gt_feat training path was unreachable
+    from the trainer."""
+    _, _, smpl, batch, _ = setup
+    cfg = Config(
+        danet=DaNetConfig(
+            iuv_regressor="resnet", msres_num_layers=18,
+            img_size=64, heatmap_size=16, input_mode=mode,
+        )
+    )
+    model = DaNet(cfg.danet, train=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    step = make_train_step(model, smpl, cfg, donate=False)
+    state2, metrics = step(state, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss_total"]))
+
+
+@pytest.mark.slow
 def test_train_step_device_ingest(setup):
     """Raw-frame batches: crop+rot+flip+noise+normalize fuse into the jitted
     train step (cli/train.py --device_preprocess; the training half of the

@@ -148,7 +148,40 @@ def bench_inference(B=256, n_iters=16):
     )
 
 
+def _require_backend(timeout_s: float = 240.0):
+    """Fail fast (with a parseable JSON line) if the accelerator backend
+    cannot initialize — the tunneled TPU goes down for hours at a time and
+    jax.devices() then blocks forever, which would turn the whole bench into
+    an opaque driver timeout."""
+    import threading
+
+    devs = []
+    def probe():
+        import jax
+
+        devs.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        print(
+            json.dumps(
+                {
+                    "metric": "danet_e2e_inference_imgs_per_sec",
+                    "value": 0.0,
+                    "unit": "imgs/sec/chip",
+                    "error": f"jax backend init did not complete in {timeout_s:.0f}s "
+                             "(TPU tunnel down?) — no benchmark ran",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+
 def main():
+    _require_backend()
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             bench_train()

@@ -16,6 +16,14 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
     _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
                " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
                " --xla_cpu_collective_timeout_seconds=3600")
+if "xla_cpu_use_xnnpack" not in _flags:
+    # Anti-thread-thrash set for few-core hosts (measured in
+    # __graft_entry__._force_host_devices): XNNPACK's pthreadpool, XLA's
+    # parallel LLVM codegen, and Eigen's spinning threadpool burn most of
+    # the wall clock in `sys` when 8 virtual devices share one core.
+    _flags += (" --xla_cpu_use_xnnpack=false"
+               " --xla_cpu_parallel_codegen_split_count=1"
+               " --xla_cpu_multi_thread_eigen=false")
 os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
@@ -33,6 +41,10 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# One core, one computation at a time: the async dispatch thread only adds
+# scheduling churn (same motive as the XLA flags above).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

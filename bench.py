@@ -180,8 +180,26 @@ def _require_backend(timeout_s: float = 240.0):
         os._exit(0)
 
 
+def _enable_compile_cache():
+    """Persistent compile cache (same dir the multichip dryrun uses): the
+    flagship train graphs take ~10 min each to compile cold through the
+    tunneled remote compiler; a repeat bench run (e.g. the driver's, after
+    this repo's own verification run) skips straight to timing."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def main():
     _require_backend()
+    _enable_compile_cache()
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             bench_train()

@@ -193,8 +193,11 @@ def _enable_compile_cache():
             os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    except Exception as e:
+        # a silently-disabled cache makes repeat runs mysteriously slow;
+        # leave a visible breadcrumb in driver logs
+        print(json.dumps({"metric": "danet_compile_cache_disabled",
+                          "value": f"{type(e).__name__}: {e}"}), flush=True)
 
 
 def main():

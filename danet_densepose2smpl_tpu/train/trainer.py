@@ -121,14 +121,20 @@ class Trainer:
                 window_steps += 1
 
                 if step_count % cfg.train.summary_steps == 0:
-                    jax.block_until_ready(metrics["loss_total"])
+                    # Forced scalar D2H fetch BEFORE reading the clock: on the
+                    # tunneled TPU platform `block_until_ready` does not
+                    # actually wait (bench.py timing note), so the fetch is
+                    # what guarantees every queued step in this window has
+                    # executed. Fetching after computing dt would charge the
+                    # drained compute to no window and overstate imgs_per_sec.
+                    loss_val = float(metrics["loss_total"])
                     dt = (time.time() - window_start) / max(window_steps, 1)
                     metrics = dict(metrics)
                     metrics["step_time_s"] = dt
                     metrics["imgs_per_sec"] = cfg.train.batch_size / max(dt, 1e-9)
                     self.logger.log(step_count, metrics)
                     print(f"e{epoch} b{b_idx} step {step_count} "
-                          f"loss {float(metrics['loss_total']):.3f} ({dt * 1e3:.0f} ms/step)"
+                          f"loss {loss_val:.3f} ({dt * 1e3:.0f} ms/step)"
                           + (" [pretrain]" if pretrain else ""))
                     window_start = time.time()
                     window_steps = 0

@@ -27,6 +27,12 @@ def main(argv=None):
                         "{fp32, bf16, bf16_remat, fp32_remat}")
     args = p.parse_args(argv)
 
+    # same guard rails as bench.main(): fail fast if the TPU tunnel is down,
+    # and reuse the persistent compile cache so sweep points skip the
+    # ~10-min cold flagship compiles on repeat runs
+    bench._require_backend()
+    bench._enable_compile_cache()
+
     kw = {
         "fp32": {},
         "bf16": {"compute_dtype": "bfloat16"},

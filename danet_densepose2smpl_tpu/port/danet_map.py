@@ -76,6 +76,13 @@ def gcn_rules(tpre: str, fpath: tuple, num_layers: int) -> list:
     return rules
 
 
+def _edge_importance_t(w) -> np.ndarray:
+    """Torch registers edge_importance as (1, 24, 24) (reference
+    smpl_regressor.py:668-674); named so the manifest can invert it exactly
+    (a probe cannot distinguish (1,24,24) from (576,))."""
+    return np.asarray(w).reshape(24, 24)
+
+
 def grouped_head_rules(tpre: str, fpath: tuple) -> list:
     """pose/coord regressor: Sequential(pool, grouped 1x1 conv) -> PartwiseDense."""
     return [
@@ -123,6 +130,8 @@ def fuse_lstm_biases(sd: dict) -> dict:
     for k in list(sd):
         if ".bias_ih_l0" in k:
             hh = k.replace("bias_ih", "bias_hh")
+            if hh not in sd:
+                continue  # preflight will flag the unfused key as unmapped
             out[k.replace("bias_ih", "bias")] = np.asarray(sd[k]) + np.asarray(sd[hh])
             del out[k]
             del out[hh]
@@ -193,7 +202,7 @@ def danet_rules(cfg: DaNetConfig) -> list:
         rules += gcn_rules(f"{rpre}.refine_gcn", rpath + ("refine_gcn",), r.gcn_num_layer)
         rules += [
             (f"{rpre}.edge_importance", ("params",) + rpath + ("edge_importance",),
-             lambda w: np.asarray(w).reshape(24, 24)),
+             _edge_importance_t),
         ]
         rules += grouped_head_rules(f"{rpre}.pose_regressors.0", rpath + ("pose_regressor_0",))
         rules += grouped_head_rules(f"{rpre}.pose_regressors.1", rpath + ("pose_regressor_1",))
@@ -257,17 +266,20 @@ def smpl_resnet_like_pose_resnet(tpre: str, fpath: tuple, depth: int) -> list:
     return rules
 
 
-def synthesize_torch_state_dict(rules, variables) -> dict:
-    """Shape-correct fake torch state_dict from a rule list + flax template
-    (structural testing without the released files)."""
+def expected_torch_shapes(rules, variables) -> dict:
+    """Torch-side key -> expected shape manifest, inverted from the flax
+    template through each rule's layout transform. This is the released-
+    checkpoint contract: a real .pt must carry exactly these keys at these
+    shapes (reference module definitions, README.md:94-107)."""
     from danet_densepose2smpl_tpu.port.convert import _flatten
 
     flat = {col: _flatten(variables.get(col, {})) for col in ("params", "batch_stats")}
-    inv = {}
-    rng = np.random.RandomState(0)
+    manifest = {}
     for torch_key, dest, transform in rules:
         col, *path = dest
-        tgt = flat[col][tuple(path)]
+        tgt = flat[col].get(tuple(path))
+        if tgt is None:
+            raise KeyError(f"rule {torch_key}: no flax leaf {col}/{'/'.join(path)}")
         shape = tuple(tgt.shape)
         if transform is convert_conv:
             tshape = (shape[3], shape[2], shape[0], shape[1])
@@ -277,14 +289,30 @@ def synthesize_torch_state_dict(rules, variables) -> dict:
             tshape = (shape[1], shape[0])
         elif transform is np.asarray or transform is None:
             tshape = shape
+        elif transform is _edge_importance_t:
+            tshape = (1,) + shape
         else:
             # grouped heads / reshapes: probe by transforming a trial array
             tshape = _probe_inverse(transform, shape)
-        if torch_key not in inv:
-            val = rng.randn(*tshape).astype(np.float32) * 0.05
-            if torch_key.endswith("running_var"):
-                val = np.abs(val) + 0.5  # variances must be positive
-            inv[torch_key] = val
+        prev = manifest.get(torch_key)
+        if prev is not None and prev != tshape:
+            # several rules slice one torch tensor (LSTM gates): keep the
+            # full torch-side shape, which every slicing rule agrees on
+            raise ValueError(f"{torch_key}: inconsistent shapes {prev} vs {tshape}")
+        manifest[torch_key] = tshape
+    return manifest
+
+
+def synthesize_torch_state_dict(rules, variables) -> dict:
+    """Shape-correct fake torch state_dict from a rule list + flax template
+    (structural testing without the released files)."""
+    inv = {}
+    rng = np.random.RandomState(0)
+    for torch_key, tshape in expected_torch_shapes(rules, variables).items():
+        val = rng.randn(*tshape).astype(np.float32) * 0.05
+        if torch_key.endswith("running_var"):
+            val = np.abs(val) + 0.5  # variances must be positive
+        inv[torch_key] = val
     return inv
 
 

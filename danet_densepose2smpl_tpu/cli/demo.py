@@ -38,7 +38,6 @@ def main(argv=None):
     from danet_densepose2smpl_tpu.core.config import load_config
     from danet_densepose2smpl_tpu.kernels import IUVRenderer
     from danet_densepose2smpl_tpu.ops.iuvmap import iuv_map2img
-    from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
     from danet_densepose2smpl_tpu.smpl import smpl_forward
     from danet_densepose2smpl_tpu.utils import vis
 
@@ -82,19 +81,11 @@ def main(argv=None):
         iuv_img, part_iuv, rendered, para, shaded, shaded_side = infer(variables, jnp.asarray(norm))
 
         # per-part IUV images with the global patch-id remapping
-        part_imgs = []
-        pi = np.asarray(part_iuv[0])  # (24, S, S, 3, 7)
-        for k in range(24):
-            mapping = [0] + list(DP2SMPL_MAPPING[k])
-            img_k = iuv_map2img(
-                jnp.asarray(pi[k, None, ..., 0, :]), jnp.asarray(pi[k, None, ..., 1, :]),
-                jnp.asarray(pi[k, None, ..., 2, :]), ind_mapping=mapping,
-            )
-            part_imgs.append(np.asarray(img_k[0]))
+        part_imgs = vis.partial_iuv_images(np.asarray(part_iuv[0]))
 
         out_path = os.path.join(args.out_dir, os.path.splitext(os.path.basename(path))[0] + "_danet.png")
         vis.demo_composite(
-            norm[0], np.asarray(iuv_img[0]), np.stack(part_imgs), np.asarray(rendered[0]), out_path,
+            norm[0], np.asarray(iuv_img[0]), part_imgs, np.asarray(rendered[0]), out_path,
             shaded_front=np.asarray(shaded[0]), shaded_side=np.asarray(shaded_side[0]),
         )
         print(f"{path} -> {out_path}  cam={np.round(np.asarray(para[0, :3]), 3)}")

@@ -89,12 +89,27 @@ class DaNetConfig:
     # lifting the trainable batch per chip (B=64 fp32 OOMs 16 GB HBM
     # without it; the reference never faces this at B=16/GPU).
     remat_backbone: bool = False
+    # Remat granularity. 'backbone' = one jax.checkpoint over the whole
+    # backbone: the backward re-runs the ENTIRE forward and holds its full
+    # activation set live while backpropping through it. 'modules' = each
+    # HRNet stage module (and stem layer1) checkpoints separately: same
+    # recompute FLOPs (everything still re-runs exactly once), but only ONE
+    # module's activations are ever live in the backward — strictly less
+    # peak HBM, admitting larger batches.
+    remat_scope: str = "backbone"    # 'backbone' | 'modules'
     # Pallas crop+head fusion at inference. Default OFF: the kernel's
     # in-kernel (H, W, C)->(H, W*C) shape cast fails Mosaic vector-layout
     # inference on real v5e hardware (it passes only in interpret mode);
     # the XLA separable-matmul path is the validated serving path until the
     # kernel is restructured around Mosaic-legal layouts.
     fused_part_head: bool = False
+    # Serving-memory knob: split the STN crop + grouped partial-IUV-head
+    # subgraph into N sequential part chunks (24 % N == 0). The (B, S, S,
+    # 24*C) crop tensor is the serving peak-HBM driver (B=512 bf16 OOMs at
+    # 3.7 GB of crops alone); chunks are order-forced with an
+    # optimization_barrier so peak crop memory divides by N. Numerics
+    # identical (tests/test_danet_model.py). Inference-only; 1 = off.
+    part_head_chunks: int = 1
 
     def __post_init__(self):
         # Fail fast on knobs we deliberately don't wire instead of silently
@@ -125,6 +140,15 @@ class DaNetConfig:
         if self.iuv_regressor not in ("hrnet", "resnet"):
             raise ValueError(
                 f"unknown iuv_regressor '{self.iuv_regressor}' (supported: hrnet, resnet)"
+            )
+        if self.remat_scope not in ("backbone", "modules"):
+            raise ValueError(
+                f"unknown remat_scope '{self.remat_scope}' (supported: backbone, modules)"
+            )
+        if self.part_head_chunks < 1 or self.num_patches % self.part_head_chunks:
+            raise ValueError(
+                f"part_head_chunks={self.part_head_chunks} must divide "
+                f"num_patches={self.num_patches}"
             )
 
 

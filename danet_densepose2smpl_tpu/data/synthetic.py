@@ -67,6 +67,50 @@ def synthetic_batch(
     return batch
 
 
+def synthetic_raw_batch(cfg: Config, batch_size: int, seed: int = 0, num_dp_points: int = 196):
+    """A raw training batch as the Trainer hands it to the jitted step —
+    BEFORE prepare_targets: carries GT pose/betas and the host fits-lookup
+    results (opt_pose/opt_betas/opt_valid), NOT opt_rotmat/uv_image_gt, so
+    the step runs the full in-jit target preparation (pseudo-fit merge, two
+    SMPL GT forwards, WLS camera fits, keypoint projection, GT IUV raster).
+    `synthetic_batch` above is the post-preparation shape; this one is what
+    profiling the true trainer step needs."""
+    rng = np.random.RandomState(seed)
+    b = batch_size
+    s = cfg.danet.heatmap_size
+    res = cfg.danet.img_size
+    return {
+        "img": rng.rand(b, res, res, 3).astype(np.float32),
+        "keypoints": np.concatenate(
+            [rng.uniform(-1, 1, (b, 49, 2)), np.ones((b, 49, 1))], -1
+        ).astype(np.float32),
+        "pose": (rng.randn(b, 72) * 0.3).astype(np.float32),
+        "betas": (rng.randn(b, 10) * 0.5).astype(np.float32),
+        "pose_3d": np.concatenate(
+            [rng.randn(b, 24, 3) * 0.3, np.ones((b, 24, 1))], -1
+        ).astype(np.float32),
+        "smpl_2dkps": np.concatenate(
+            [rng.uniform(-1, 1, (b, 24, 2)), np.ones((b, 24, 1))], -1
+        ).astype(np.float32),
+        "opt_pose": (rng.randn(b, 72) * 0.3).astype(np.float32),
+        "opt_betas": (rng.randn(b, 10) * 0.5).astype(np.float32),
+        "opt_valid": np.ones(b, np.float32),
+        "is_dp_dataset": np.zeros(b, np.float32),
+        "has_smpl": np.ones(b, np.float32),
+        "has_dp": np.zeros(b, np.float32),
+        "has_pose_3d": np.ones(b, np.float32),
+        "dp_dict": {
+            "x": rng.uniform(0, s, (b, num_dp_points)).astype(np.float32),
+            "y": rng.uniform(0, s, (b, num_dp_points)).astype(np.float32),
+            "i_points": rng.randint(0, 25, (b, num_dp_points)).astype(np.int32),
+            "u_points": rng.rand(b, 25, num_dp_points).astype(np.float32),
+            "v_points": rng.rand(b, 25, num_dp_points).astype(np.float32),
+            "point_weights": (rng.rand(b, 25, num_dp_points) > 0.5).astype(np.float32),
+            "ann_labels": rng.randint(0, 15, (b, s, s)).astype(np.int32),
+        },
+    }
+
+
 def write_synthetic_dataset(
     out_dir: str,
     n: int = 16,

@@ -146,7 +146,12 @@ class IUVEstimator(nn.Module):
         """
         c = self.cfg
         backbone_cls = PoseHighResolutionNet if c.iuv_regressor == "hrnet" else PoseResNet
-        if c.remat_backbone and self.train:
+        remat_on = c.remat_backbone and self.train
+        # remat_scope='modules' checkpoints each HRNet stage module instead
+        # of the whole backbone: same recompute FLOPs, strictly lower peak
+        # HBM (the backward holds one module's activations, not all of them)
+        per_module = remat_on and c.remat_scope == "modules" and c.iuv_regressor == "hrnet"
+        if remat_on and not per_module:
             # jax.checkpoint over the whole backbone: activations are
             # recomputed in the backward pass instead of held in HBM
             backbone_cls = nn.remat(backbone_cls)
@@ -157,7 +162,10 @@ class IUVEstimator(nn.Module):
             )
 
             stages = HRNET_W48_STAGES_PADDED if c.hrnet_pad_channels else HRNET_W48_STAGES
-            feats = backbone_cls(stages=stages, train=self.train, axis_name=self.axis_name, name="backbone")(image)
+            feats = backbone_cls(
+                stages=stages, train=self.train, axis_name=self.axis_name,
+                remat_modules=per_module, name="backbone",
+            )(image)
         else:
             feats = backbone_cls(resnet_nums=c.msres_num_layers, train=self.train, axis_name=self.axis_name, name="backbone")(image)
 
@@ -242,6 +250,26 @@ class IUVEstimator(nn.Module):
             out["part_iuv"] = PartialIUVHead(name="partial_head")(
                 fused_inputs=(feats, wy, wx)
             )
+        elif not self.train and c.part_head_chunks > 1:
+            # serving-memory mode: the (B, S, S, 24*C) crop tensor is the
+            # peak-HBM driver at large batch (B=512 bf16 = 3.7 GB of crops).
+            # Crop+head runs per part chunk, order-forced through an
+            # optimization_barrier so XLA cannot co-schedule the chunks —
+            # peak crop memory divides by part_head_chunks. Same params,
+            # same numerics as the one-shot path.
+            head = PartialIUVHead(name="partial_head")
+            pc = 24 // c.part_head_chunks
+            chunk_outs = []
+            feats_g = feats
+            for g in range(c.part_head_chunks):
+                sl = slice(g * pc, (g + 1) * pc)
+                pf = separable_crop_concat(
+                    feats_g, theta[:, sl, :, 2], theta[:, sl, 0, 0], s
+                )
+                o = head(pf, part_slice=(g * pc, pc))
+                chunk_outs.append(o)
+                feats_g, _ = jax.lax.optimization_barrier((feats, o))
+            out["part_iuv"] = jnp.concatenate(chunk_outs, axis=1)
         else:
             part_feats = separable_crop_concat(feats, theta[..., :, 2], theta[..., 0, 0], s)
             out["part_iuv"] = PartialIUVHead(name="partial_head")(part_feats)

@@ -96,22 +96,31 @@ class HRModule(nn.Module):
 
 
 class PoseHighResolutionNet(nn.Module):
-    """HRNet-W48; returns the 48-ch stride-4 feature map (B, 56, 56, 48)."""
+    """HRNet-W48; returns the 48-ch stride-4 feature map (B, 56, 56, 48).
+
+    `remat_modules`: checkpoint each HRModule (and the stem's layer1)
+    individually — the per-module remat_scope (see core/config.py). Only the
+    branch tensors at module boundaries are saved for the backward; each
+    module's internals are recomputed one module at a time, so the backward
+    never holds more than one module's activations."""
 
     stages: Sequence = HRNET_W48_STAGES
     train: bool = False
     axis_name: str | None = None
+    remat_modules: bool = False
 
     @nn.compact
     def __call__(self, x):
         common = dict(train=self.train, axis_name=self.axis_name)
+        hr_module = nn.remat(HRModule) if self.remat_modules else HRModule
+        res_layer = nn.remat(ResLayer) if self.remat_modules else ResLayer
 
         # stem: two stride-2 3x3 convs -> 64ch stride 4
         x = conv(64, 3, 2, name="conv1")(x)
         x = NormAct(not self.train, axis_name=self.axis_name, name="bn1")(x)
         x = conv(64, 3, 2, name="conv2")(x)
         x = NormAct(not self.train, axis_name=self.axis_name, name="bn2")(x)
-        x = ResLayer(Bottleneck, 64, 4, name="layer1", **common)(x)  # -> 256 ch
+        x = res_layer(Bottleneck, 64, 4, name="layer1", **common)(x)  # -> 256 ch
 
         xs = [x]
         prev_channels = (256,)
@@ -134,7 +143,7 @@ class PoseHighResolutionNet(nn.Module):
             last_stage = s_idx == len(self.stages) - 1
             for m in range(num_modules):
                 mso = not (last_stage and m == num_modules - 1)
-                new_xs = HRModule(
+                new_xs = hr_module(
                     num_branches=num_branches,
                     num_blocks=num_blocks,
                     channels=channels,

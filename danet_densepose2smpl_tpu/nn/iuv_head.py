@@ -95,7 +95,8 @@ class PartialIUVHead(nn.Module):
     num_parts: int = 24
 
     @nn.compact
-    def __call__(self, part_feats=None, fused_inputs=None, interpret=False):
+    def __call__(self, part_feats=None, fused_inputs=None, interpret=False,
+                 part_slice=None):
         k = self.num_parts
         out_total = self.part_dim * 3 * k
         if fused_inputs is not None:
@@ -112,15 +113,25 @@ class PartialIUVHead(nn.Module):
             return out.reshape(b, k, s, s, 3, self.part_dim)
 
         b, s = part_feats.shape[0], part_feats.shape[1]
-        kernel, bias = _GroupedConvParams(
-            part_feats.shape[-1] // k, out_total, name="predict_partial_iuv"
-        )()
+        cin = (part_feats.shape[-1] // k if part_slice is None
+               else part_feats.shape[-1] // part_slice[1])
+        # full 24-group params even when applying a slice, so the chunked
+        # serving path (config part_head_chunks) shares the one checkpointed
+        # kernel with the standard path
+        kernel, bias = _GroupedConvParams(cin, out_total, name="predict_partial_iuv")()
+        groups = k
+        if part_slice is not None:
+            start, count = part_slice
+            oc = self.part_dim * 3
+            kernel = kernel[..., start * oc : (start + count) * oc]
+            bias = bias[start * oc : (start + count) * oc]
+            groups = count
         out = jax.lax.conv_general_dilated(
             part_feats, kernel, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=k,
+            feature_group_count=groups,
         ) + bias
-        # channel layout per part group: [u(7), v(7), index(7)] x 24 ->
-        # (B, S, S, 24, 3, 7) -> (B, 24, S, S, 3, 7)
-        out = out.reshape(b, s, s, k, 3, self.part_dim)
+        # channel layout per part group: [u(7), v(7), index(7)] x groups ->
+        # (B, S, S, groups, 3, 7) -> (B, groups, S, S, 3, 7)
+        out = out.reshape(b, s, s, groups, 3, self.part_dim)
         return out.transpose(0, 3, 1, 2, 4, 5)

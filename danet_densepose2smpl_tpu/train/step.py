@@ -79,6 +79,64 @@ def create_train_state(model: DaNet, cfg: Config, rng, sample_image) -> TrainSta
     return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
 
 
+def make_loss_fn(
+    train_model: DaNet,
+    smpl: SMPLModel,
+    cfg: Config,
+    pretrain_mode: bool = False,
+) -> Callable:
+    """The differentiated core of the train step as a standalone function
+    loss_fn(params, batch_stats, batch, jit_rng, drop_rng) ->
+    (total, (losses, new_batch_stats)). Factored out so the component
+    profiler (scripts/profile_train.py) can time forward / forward+backward
+    in isolation against exactly the production graph."""
+    # Mixed precision (compute_dtype='bfloat16'): the model forward runs in
+    # bf16 (params cast per step, activations follow), while master params,
+    # optimizer moments, BatchNorm statistics (flax computes them in f32
+    # regardless of input dtype), GT preparation and every loss stay fp32.
+    # Gradients arrive fp32 through the cast's transpose.
+    mp_dtype = jnp.bfloat16 if cfg.danet.compute_dtype == "bfloat16" else None
+
+    def loss_fn(params, batch_stats, batch, jit_rng, drop_rng):
+        if mp_dtype is not None:
+            from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+
+            fwd_params = cast_float_tree(params, mp_dtype)
+            img = batch["img"].astype(mp_dtype)
+        else:
+            fwd_params, img = params, batch["img"]
+        gt_kwargs = {}
+        if cfg.danet.input_mode in ("iuv_gt", "iuv_gt_feat"):
+            # GT-driven ablations consume the rendered GT IUV image (and
+            # GT SMPL keypoints for the oracle STN) inside the forward —
+            # reference danet.py:67-77,249-262. prepare_targets put both
+            # in the batch; a KeyError here means the dataset/renderer
+            # cannot supply them for this mode.
+            gt_kwargs = {"uv_image_gt": batch["uv_image_gt"],
+                         "smpl_kps_gt": batch["target_smpl_kps"]}
+        out, mutated = train_model.apply(
+            {"params": fwd_params, "batch_stats": batch_stats},
+            img,
+            pretrain_mode=pretrain_mode,
+            mutable=["batch_stats"],
+            rngs={"jitter": jit_rng, "partdrop": drop_rng},
+            **gt_kwargs,
+        )
+        if mp_dtype is not None:
+            out = jax.tree.map(
+                lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") and x.dtype == mp_dtype else x,
+                out,
+            )
+        total, losses = compute_losses(
+            cfg.danet, smpl, out, batch, pretrain_mode=pretrain_mode,
+            openpose_weight=cfg.train.openpose_train_weight,
+            gt_weight=cfg.train.gt_train_weight,
+        )
+        return total, (losses, mutated["batch_stats"])
+
+    return loss_fn
+
+
 def make_train_step(
     train_model: DaNet,
     smpl: SMPLModel,
@@ -98,12 +156,7 @@ def make_train_step(
     keypoint projection, GT IUV rendering — runs inside the same jit.
     """
     optimizer = make_optimizer(cfg)
-    # Mixed precision (compute_dtype='bfloat16'): the model forward runs in
-    # bf16 (params cast per step, activations follow), while master params,
-    # optimizer moments, BatchNorm statistics (flax computes them in f32
-    # regardless of input dtype), GT preparation and every loss stay fp32.
-    # Gradients arrive fp32 through the cast's transpose.
-    mp_dtype = jnp.bfloat16 if cfg.danet.compute_dtype == "bfloat16" else None
+    loss_fn_core = make_loss_fn(train_model, smpl, cfg, pretrain_mode=pretrain_mode)
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         if "raw_img" in batch:
@@ -123,41 +176,7 @@ def make_train_step(
         jit_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
-            if mp_dtype is not None:
-                from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
-
-                fwd_params = cast_float_tree(params, mp_dtype)
-                img = batch["img"].astype(mp_dtype)
-            else:
-                fwd_params, img = params, batch["img"]
-            gt_kwargs = {}
-            if cfg.danet.input_mode in ("iuv_gt", "iuv_gt_feat"):
-                # GT-driven ablations consume the rendered GT IUV image (and
-                # GT SMPL keypoints for the oracle STN) inside the forward —
-                # reference danet.py:67-77,249-262. prepare_targets put both
-                # in the batch; a KeyError here means the dataset/renderer
-                # cannot supply them for this mode.
-                gt_kwargs = {"uv_image_gt": batch["uv_image_gt"],
-                             "smpl_kps_gt": batch["target_smpl_kps"]}
-            out, mutated = train_model.apply(
-                {"params": fwd_params, "batch_stats": state.batch_stats},
-                img,
-                pretrain_mode=pretrain_mode,
-                mutable=["batch_stats"],
-                rngs={"jitter": jit_rng, "partdrop": drop_rng},
-                **gt_kwargs,
-            )
-            if mp_dtype is not None:
-                out = jax.tree.map(
-                    lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") and x.dtype == mp_dtype else x,
-                    out,
-                )
-            total, losses = compute_losses(
-                cfg.danet, smpl, out, batch, pretrain_mode=pretrain_mode,
-                openpose_weight=cfg.train.openpose_train_weight,
-                gt_weight=cfg.train.gt_train_weight,
-            )
-            return total, (losses, mutated["batch_stats"])
+            return loss_fn_core(params, state.batch_stats, batch, jit_rng, drop_rng)
 
         (total, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)

@@ -44,6 +44,7 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset
         self.smpl = smpl
+        self.renderer = renderer
         self.fits = fits
         self.workdir = workdir
         self.mesh = mesh
@@ -157,9 +158,12 @@ class Trainer:
         return self.state
 
     def _save_vis(self, device_batch: dict, step_count: int) -> None:
-        """Periodic training visualization: predicted vs GT IUV panels
-        (the reference's TensorBoard image summaries, trainer.py:250-305),
-        written as PNGs under <workdir>/vis/."""
+        """Periodic training visualization at reference parity (the
+        TensorBoard image summaries of reference trainer.py:250-305):
+        per-sample rows — input with GT keypoints + STN crop centers, pred
+        IUV, GT IUV, pred-SMPL rendered IUV, shaded pred-mesh overlay — plus
+        a sample-0 sheet with the 24-part partial-IUV grid and the 24 joint
+        heatmaps. Written as PNGs under <workdir>/vis/."""
         import os
 
         import matplotlib
@@ -169,7 +173,14 @@ class Trainer:
 
         from danet_densepose2smpl_tpu.models.danet import DaNet
         from danet_densepose2smpl_tpu.ops.iuvmap import iuv_map2img
-        from danet_densepose2smpl_tpu.utils.vis import denormalize_image
+        from danet_densepose2smpl_tpu.smpl import smpl_forward
+        from danet_densepose2smpl_tpu.utils.vis import (
+            denormalize_image,
+            draw_points,
+            draw_skeleton,
+            heatmap_grid,
+            partial_iuv_images,
+        )
 
         if "img" in device_batch:
             imgs = device_batch["img"][:4]
@@ -191,24 +202,92 @@ class Trainer:
         )
         u, v, i, a = out["iuv_clean"]
         pred_iuv = np.asarray(iuv_map2img(u, v, i, a))
-
         n = pred_iuv.shape[0]
-        has_gt = "uv_image_gt" in device_batch
-        rows = 3 if has_gt else 2
-        fig, axes = plt.subplots(rows, n, figsize=(3 * n, 3 * rows), squeeze=False)
+        res = float(self.cfg.danet.img_size)
+
+        # input overlays: GT SMPL 2D keypoints (skeleton) + STN crop centers
+        est = out.get("iuv_raw", {})
+        centers = np.asarray(est["stn_centers"]) if "stn_centers" in est else None
+        gt_kps = (
+            np.asarray(device_batch["smpl_2dkps"][:n])
+            if "smpl_2dkps" in device_batch
+            else (np.asarray(device_batch["target_smpl_kps"][:n])
+                  if "target_smpl_kps" in device_batch else None)
+        )
+        inputs = []
         for k in range(n):
-            axes[0][k].imshow(denormalize_image(np.asarray(imgs[k])))
-            axes[1][k].imshow(np.clip(pred_iuv[k], 0, 1))
-            if has_gt:
-                axes[2][k].imshow(np.clip(np.asarray(device_batch["uv_image_gt"][k]), 0, 1))
-            for r in range(rows):
+            panel = denormalize_image(np.asarray(imgs[k]))
+            if gt_kps is not None:
+                panel = draw_skeleton(panel, 0.5 * res * (gt_kps[k, :, :2] + 1.0))
+            if centers is not None:
+                panel = draw_points(panel, 0.5 * res * (centers[k] + 1.0))
+            inputs.append(panel)
+
+        # pred-SMPL renders (rendered IUV + shaded overlay), reference
+        # trainer.py:284-305 renders the predicted mesh each vis step
+        rendered = shaded = None
+        if self.renderer is not None and "pred_cam" in out:
+            try:
+                from danet_densepose2smpl_tpu.kernels.rasterizer import render_shaded
+
+                smpl_out = smpl_forward(self.smpl, out["pred_shape"], out["pred_rotmat"])
+                rendered = np.asarray(self.renderer(smpl_out.vertices, out["pred_cam"]))
+                sh = np.asarray(render_shaded(
+                    smpl_out.vertices, jnp.asarray(self.smpl.faces), out["pred_cam"],
+                    out_size=int(res),
+                ))
+                shaded = [
+                    np.where(sh[k][..., None] > 0,
+                             0.35 * denormalize_image(np.asarray(imgs[k]))
+                             + 0.65 * sh[k][..., None],
+                             denormalize_image(np.asarray(imgs[k])))
+                    for k in range(n)
+                ]
+            except Exception as e:  # renders must never kill the vis pass
+                print(f"mesh render vis skipped: {e}")
+
+        row_defs = [("input / GT kps / STN", inputs),
+                    ("pred IUV", [np.clip(pred_iuv[k], 0, 1) for k in range(n)])]
+        if "uv_image_gt" in device_batch:
+            row_defs.append(("GT IUV", [np.clip(np.asarray(device_batch["uv_image_gt"][k]), 0, 1)
+                                        for k in range(n)]))
+        if rendered is not None:
+            row_defs.append(("rendered IUV (pred)", [np.clip(rendered[k], 0, 1) for k in range(n)]))
+        if shaded is not None:
+            row_defs.append(("pred mesh overlay", shaded))
+
+        rows = len(row_defs)
+        fig, axes = plt.subplots(rows, n, figsize=(3 * n, 3 * rows), squeeze=False)
+        for r, (title, row_imgs) in enumerate(row_defs):
+            for k in range(n):
+                axes[r][k].imshow(row_imgs[k])
                 axes[r][k].axis("off")
-        axes[0][0].set_title("input")
-        axes[1][0].set_title("pred IUV")
-        if has_gt:
-            axes[2][0].set_title("GT IUV")
+            axes[r][0].set_title(title)
         vis_dir = os.path.join(self.workdir, "vis")
         os.makedirs(vis_dir, exist_ok=True)
         fig.tight_layout()
         fig.savefig(os.path.join(vis_dir, f"step_{step_count:07d}.png"), dpi=90)
         plt.close(fig)
+
+        # sample-0 sheet: 24-part partial IUV grid + joint heatmap grid
+        # (reference trainer.py:269-283 part crops + heatmap panels)
+        sheets = []
+        if "part_iuv_clean" in out:
+            sheets.append(("24-part partial IUV (pred)",
+                           partial_iuv_images(np.asarray(out["part_iuv_clean"][0]))))
+        if "heatmaps" in est:
+            sheets.append(("24 joint heatmaps",
+                           heatmap_grid(np.asarray(est["heatmaps"][0]))))
+        if sheets:
+            from danet_densepose2smpl_tpu.utils.vis import part_grid
+
+            fig, axes = plt.subplots(1, len(sheets), figsize=(6 * len(sheets), 5),
+                                     squeeze=False)
+            for k, (title, sheet) in enumerate(sheets):
+                img = part_grid(sheet) if sheet.ndim == 4 else sheet
+                axes[0][k].imshow(np.clip(img, 0, 1))
+                axes[0][k].set_title(title)
+                axes[0][k].axis("off")
+            fig.tight_layout()
+            fig.savefig(os.path.join(vis_dir, f"step_{step_count:07d}_parts.png"), dpi=90)
+            plt.close(fig)

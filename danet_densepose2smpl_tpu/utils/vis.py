@@ -54,6 +54,60 @@ def draw_skeleton(img: np.ndarray, joints_px: np.ndarray, color=(0, 1.0, 0)) -> 
     return out.astype(np.float32) / 255.0
 
 
+def draw_points(img: np.ndarray, pts_px: np.ndarray, color=(1.0, 0.2, 0.2), radius: int = 3) -> np.ndarray:
+    """Overlay point markers (e.g. STN crop centers, reference
+    trainer.py:269-275) on an RGB [0,1] image. pts_px: (N, 2) (x, y)."""
+    import cv2
+
+    out = (np.asarray(img) * 255).astype(np.uint8).copy()
+    c = tuple(int(255 * v) for v in color)
+    h, w = out.shape[:2]
+    for q in np.asarray(pts_px):
+        x, y = int(round(float(q[0]))), int(round(float(q[1])))
+        if 0 <= x < w and 0 <= y < h:
+            cv2.drawMarker(out, (x, y), c, cv2.MARKER_CROSS, 2 * radius, 1)
+    return out.astype(np.float32) / 255.0
+
+
+def heatmap_grid(heatmaps: np.ndarray, cols: int = 6) -> np.ndarray:
+    """(S, S, 24) joint heatmaps -> one tiled grayscale-as-RGB grid image
+    (the reference's TensorBoard heatmap panels, trainer.py:276-282)."""
+    hm = np.moveaxis(np.asarray(heatmaps), -1, 0)  # (24, S, S)
+    k, s = hm.shape[0], hm.shape[1]
+    rows = int(np.ceil(k / cols))
+    canvas = np.zeros((rows * s, cols * s), np.float32)
+    for i in range(k):
+        r, c = divmod(i, cols)
+        tile = hm[i]
+        rng = tile.max() - tile.min()
+        canvas[r * s : (r + 1) * s, c * s : (c + 1) * s] = (
+            (tile - tile.min()) / rng if rng > 1e-9 else 0.0
+        )
+    return np.repeat(canvas[..., None], 3, axis=-1)
+
+
+def partial_iuv_images(part_iuv: np.ndarray) -> np.ndarray:
+    """(24, S, S, 3, 7) cleaned partial IUV stacks -> (24, S, S, 3)
+    displayable per-part IUV images, remapping each part's 7 local channels
+    to global patch ids (the demo's part-grid conversion, reference
+    demo.py:125-150)."""
+    import jax.numpy as jnp
+
+    from danet_densepose2smpl_tpu.ops.iuvmap import iuv_map2img
+    from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
+
+    pi = np.asarray(part_iuv)
+    imgs = []
+    for k in range(pi.shape[0]):
+        mapping = [0] + list(DP2SMPL_MAPPING[k])
+        img_k = iuv_map2img(
+            jnp.asarray(pi[k, None, ..., 0, :]), jnp.asarray(pi[k, None, ..., 1, :]),
+            jnp.asarray(pi[k, None, ..., 2, :]), ind_mapping=mapping,
+        )
+        imgs.append(np.asarray(img_k[0]))
+    return np.stack(imgs)
+
+
 def demo_composite(
     image: np.ndarray,
     iuv_pred_img: np.ndarray,

@@ -1,0 +1,130 @@
+"""Rasterizer backend race on the real chip: XLA scan vs Pallas vs banded
+Pallas, at training shapes (B=16/64, ~13.8k faces, 56x56 GT IUV render) and
+the part-renderer shape (224x224).
+
+VERDICT r3 weak #3: the Pallas rasterizer was only ever tested with
+interpret=True; this script (a) proves the kernels lower and run on the
+actual TPU, (b) checks exactness against the XLA backend on-chip, and
+(c) times all backends with the forced-fetch protocol so the production
+default can be set by measurement.
+
+Run from the repo root:  python -m scripts.bench_raster
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import bench
+
+
+def _posed_verts(B, seed=0):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from danet_densepose2smpl_tpu.smpl import smpl_forward_aa, synthetic_smpl_model
+
+    smpl = synthetic_smpl_model(num_verts=6890)
+    rng = np.random.RandomState(seed)
+    pose = jnp.asarray(rng.randn(B, 72).astype(np.float32) * 0.25)
+    betas = jnp.asarray(rng.randn(B, 10).astype(np.float32) * 0.5)
+    out = smpl_forward_aa(smpl, betas, pose)
+    cam = jnp.asarray(np.tile([0.9, 0.0, 0.0], (B, 1)).astype(np.float32))
+    return smpl, out.vertices, cam
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batches", type=int, nargs="*", default=[16, 64])
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--backends", nargs="*", default=["xla", "pallas", "pallas_banded"],
+                   help="subset to run (remote compiles are slow; split runs "
+                        "and let the persistent compile cache accumulate)")
+    p.add_argument("--sizes", type=int, nargs="*", default=[56, 224],
+                   help="output raster sizes to time (56 = GT IUV render, "
+                        "224 = part renderer)")
+    args = p.parse_args(argv)
+
+    bench._require_backend()
+    bench._enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from danet_densepose2smpl_tpu.kernels.rasterizer import (
+        project_weak_perspective,
+        rasterize_flat,
+    )
+    from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import (
+        rasterize_flat_pallas,
+        rasterize_flat_pallas_banded,
+    )
+    from danet_densepose2smpl_tpu.smpl.densepose_atlas import synthetic_densepose_atlas
+
+    smpl, verts, cam = _posed_verts(max(args.batches))
+    atlas = synthetic_densepose_atlas(smpl)
+    faces = jnp.asarray(atlas.faces)
+    tex = jnp.asarray(atlas.face_textures)
+    print(json.dumps({"meta": "raster_bench", "num_faces": int(faces.shape[0]),
+                      "backend": jax.default_backend()}), flush=True)
+
+    def time_fn(fn, *a, iters=args.iters):
+        out = fn(*a)
+        float(jnp.sum(out))  # compile + forced fetch
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        s = float(jnp.sum(out))  # D2H completes only after all iters ran
+        dt = (time.perf_counter() - t0) / iters
+        return dt, s, out
+
+    configs = [(b, 56) for b in args.batches if 56 in args.sizes]
+    if 224 in args.sizes:
+        configs += [(min(args.batches), 224)]
+    for B, S in configs:
+        vb, cb = verts[:B], cam[:B]
+        verts_px = project_weak_perspective(vb, cb, 224.0)
+
+        import functools
+
+        # jit each backend: eager dispatch through the tunnel would otherwise
+        # dominate (and the production renderer always runs inside a jit)
+        backends = {
+            "xla": jax.jit(functools.partial(
+                rasterize_flat, faces=faces, face_tex=tex, out_size=S,
+                orig_size=224.0, chunk=1024)),
+            "pallas": jax.jit(functools.partial(
+                rasterize_flat_pallas, faces=faces, face_tex=tex, out_size=S,
+                orig_size=224.0)),
+            "pallas_banded": jax.jit(functools.partial(
+                rasterize_flat_pallas_banded, faces=faces, face_tex=tex,
+                out_size=S, orig_size=224.0)),
+        }
+        backends = {k: v for k, v in backends.items() if k in args.backends}
+        ref = None
+        for name, fn in backends.items():
+            try:
+                dt, _, out = time_fn(fn, verts_px)
+            except Exception as e:
+                print(json.dumps({"metric": f"raster_{name}_b{B}_s{S}",
+                                  "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                      flush=True)
+                continue
+            row = {"metric": f"raster_{name}_b{B}_s{S}", "ms": round(dt * 1e3, 3),
+                   "imgs_per_sec": round(B / dt, 1)}
+            if name == "xla":
+                ref = np.asarray(out)
+            elif ref is not None:
+                got = np.asarray(out)
+                mismatch = float((np.abs(got - ref).max(-1) > 1e-5).mean())
+                row["pixel_mismatch_frac"] = round(mismatch, 6)
+                row["max_abs_diff"] = float(np.abs(got - ref).max())
+            print(json.dumps(row), flush=True)
+        del ref
+
+
+if __name__ == "__main__":
+    main()

@@ -328,3 +328,26 @@ def test_feat_mode_gradient_routing(rng):
         float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(est["backbone"])
     )
     assert backbone_norm > 0
+
+
+def test_part_head_chunks_numerics_identical(rng):
+    """Serving-memory chunking (config part_head_chunks, r3 VERDICT weak #5):
+    the chunked STN crop + partial-head path must be numerically identical
+    to the one-shot grouped conv, sharing the same params."""
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    cfg1 = small_cfg(img_size=64, heatmap_size=16)
+    model1 = DaNet(cfg1, train=False)
+    variables = model1.init({"params": jax.random.PRNGKey(0)}, img)
+    out1 = model1.apply(variables, img)
+
+    for chunks in (2, 4):
+        cfgc = small_cfg(img_size=64, heatmap_size=16, part_head_chunks=chunks)
+        modelc = DaNet(cfgc, train=False)
+        outc = modelc.apply(variables, img)  # same param tree
+        np.testing.assert_allclose(
+            np.asarray(outc["part_iuv_clean"]), np.asarray(out1["part_iuv_clean"]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outc["para"]), np.asarray(out1["para"]), atol=1e-5,
+        )

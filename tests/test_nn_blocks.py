@@ -120,3 +120,41 @@ def test_hmr_forward():
     assert cam.shape == (1, 3)
     eye = np.einsum("bjik,bjlk->bjil", np.asarray(rotmats), np.asarray(rotmats))
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+
+
+def test_hrnet_remat_modules_grads_match():
+    """remat_scope='modules' (per-HRModule jax.checkpoint) must be a pure
+    memory/schedule change: forward outputs and parameter gradients equal
+    the unremat backbone bit-for-bit structure-wise (allclose numerically)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from danet_densepose2smpl_tpu.nn.hrnet import PoseHighResolutionNet
+
+    tiny_stages = (
+        (1, 2, (1, 1), (8, 16)),
+        (1, 3, (1, 1, 1), (8, 16, 32)),
+    )
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32))
+
+    base = PoseHighResolutionNet(stages=tiny_stages, train=True)
+    rem = PoseHighResolutionNet(stages=tiny_stages, train=True, remat_modules=True)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, mutable=["batch_stats"],
+        )
+        return jnp.sum(out ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(base, p))(variables["params"])
+    v1, g1 = jax.value_and_grad(lambda p: loss(rem, p))(variables["params"])
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for (p0, a), (p1, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g0), key=str),
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=str),
+    ):
+        assert str(p0) == str(p1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -39,7 +39,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batches", type=int, nargs="*", default=[16, 64])
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--backends", nargs="*", default=["xla", "pallas", "pallas_banded"],
+    p.add_argument("--backends", nargs="*",
+                   default=["xla", "pallas", "pallas_banded", "pallas_bandrange"],
                    help="subset to run (remote compiles are slow; split runs "
                         "and let the persistent compile cache accumulate)")
     p.add_argument("--sizes", type=int, nargs="*", default=[56, 224],
@@ -61,6 +62,7 @@ def main(argv=None):
     from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import (
         rasterize_flat_pallas,
         rasterize_flat_pallas_banded,
+        rasterize_flat_pallas_bandrange,
     )
     from danet_densepose2smpl_tpu.smpl.densepose_atlas import synthetic_densepose_atlas
 
@@ -101,6 +103,9 @@ def main(argv=None):
                 orig_size=224.0)),
             "pallas_banded": jax.jit(functools.partial(
                 rasterize_flat_pallas_banded, faces=faces, face_tex=tex,
+                out_size=S, orig_size=224.0)),
+            "pallas_bandrange": jax.jit(functools.partial(
+                rasterize_flat_pallas_bandrange, faces=faces, face_tex=tex,
                 out_size=S, orig_size=224.0)),
         }
         backends = {k: v for k, v in backends.items() if k in args.backends}

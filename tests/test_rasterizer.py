@@ -138,3 +138,22 @@ def test_pallas_banded_matches_xla(rng):
     )
     agree = np.isclose(a, p, atol=1e-5).all(-1).mean()
     assert agree > 0.999, agree
+
+
+def test_pallas_bandrange_matches_xla(rng):
+    from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import (
+        rasterize_flat_pallas_bandrange,
+    )
+
+    b, nv, nf = 2, 50, 300
+    verts = rng.randn(b, nv, 3).astype(np.float32) * 0.12
+    cam = np.tile([0.9, 0.0, 0.0], (b, 1)).astype(np.float32)
+    faces = rng.randint(0, nv, (nf, 3)).astype(np.int32)
+    tex = rng.rand(nf, 3).astype(np.float32)
+    vpx = project_weak_perspective(jnp.asarray(verts), jnp.asarray(cam))
+    a = np.asarray(rasterize_flat(vpx, jnp.asarray(faces), jnp.asarray(tex), 56))
+    p = np.asarray(
+        rasterize_flat_pallas_bandrange(vpx, jnp.asarray(faces), jnp.asarray(tex), 56, interpret=True)
+    )
+    agree = np.isclose(a, p, atol=1e-5).all(-1).mean()
+    assert agree > 0.999, agree

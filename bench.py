@@ -42,16 +42,27 @@ CPU_BASELINE_IMGS_PER_SEC = 0.171  # measured: this pipeline, JAX CPU, B=16
 def bench_train(modes=None):
     """Flagship train-step throughput: one JSON line per mode.
 
-    `modes`: list of (name, batch_size, danet_cfg_overrides) — default the
-    two headline configurations; scripts/bench_sweep.py passes others."""
+    `modes`: list of (name, batch_size, danet_cfg_overrides[, full]) —
+    default the headline configurations; scripts/bench_sweep.py passes
+    others. `full=True` benches the TRUE trainer step: a raw batch (GT
+    pose/betas + fits-lookup results, no precomputed targets) so the in-jit
+    target preparation — pseudo-fit merge, two SMPL GT forwards, WLS camera
+    fits, keypoint projection, 13.8k-face GT IUV raster — runs inside the
+    timed program, exactly like cli/train.py. The non-full modes time the
+    prepared-batch step (forward+losses+backward+Adam only) and are kept
+    for cross-round comparability."""
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
 
     from danet_densepose2smpl_tpu.core.config import Config, DaNetConfig, replace
     from danet_densepose2smpl_tpu.data import synthetic_batch
+    from danet_densepose2smpl_tpu.data.synthetic import synthetic_raw_batch
+    from danet_densepose2smpl_tpu.kernels.rasterizer import IUVRenderer
     from danet_densepose2smpl_tpu.models.danet import DaNet
     from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
+    from danet_densepose2smpl_tpu.smpl.densepose_atlas import synthetic_densepose_atlas
+
     from danet_densepose2smpl_tpu.train import create_train_state, make_train_step
 
     smpl = synthetic_smpl_model()  # full 6890-vertex body
@@ -59,15 +70,26 @@ def bench_train(modes=None):
         modes = [
             ("train_fp32_b16", 16, {}),
             ("train_bf16_remat_b64", 64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
+            ("train_full_bf16_remat_b64", 64,
+             {"compute_dtype": "bfloat16", "remat_backbone": True}, True),
         ]
-    for name, batch_size, danet_kw in modes:
+    for name, batch_size, danet_kw, *rest in modes:
+        full = bool(rest and rest[0])
         cfg = Config(danet=replace(DaNetConfig(), **danet_kw)) if danet_kw else Config()
         model = DaNet(cfg.danet, train=True)
-        batch = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, batch_size, num_verts=6890))
+        if full:
+            batch = jtu.tree_map(jnp.asarray, synthetic_raw_batch(cfg, batch_size))
+            renderer = IUVRenderer(
+                synthetic_densepose_atlas(smpl),
+                orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size,
+            )
+        else:
+            batch = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, batch_size, num_verts=6890))
+            renderer = None
         state = create_train_state(
             model, cfg, jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
         )
-        step = make_train_step(model, smpl, cfg, donate=True)
+        step = make_train_step(model, smpl, cfg, donate=True, renderer=renderer)
         rng = jax.random.PRNGKey(1)
         state, metrics = step(state, batch, rng)  # warmup/compile
         float(metrics["loss_total"])              # forced host fetch
@@ -91,7 +113,7 @@ def bench_train(modes=None):
         del state, step, batch  # release HBM before the next mode
 
 
-def bench_inference(B=256, n_iters=16):
+def bench_inference(B=256, n_iters=16, danet_kw=None):
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -102,7 +124,7 @@ def bench_inference(B=256, n_iters=16):
     from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
     from danet_densepose2smpl_tpu.smpl import smpl_forward, synthetic_smpl_model
 
-    cfg = DaNetConfig()
+    cfg = DaNetConfig(**(danet_kw or {}))
     model = DaNet(cfg, train=False)
     smpl = synthetic_smpl_model()  # full 6890-vertex body
 
@@ -138,7 +160,9 @@ def bench_inference(B=256, n_iters=16):
         json.dumps(
             {
                 "metric": "danet_e2e_inference_imgs_per_sec"
-                          + ("" if B == 256 else f"_b{B}"),
+                          + ("" if B == 256 else f"_b{B}")
+                          + (f"_chunks{danet_kw['part_head_chunks']}"
+                             if danet_kw and "part_head_chunks" in danet_kw else ""),
                 "value": round(imgs_per_sec, 2),
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(imgs_per_sec / CPU_BASELINE_IMGS_PER_SEC, 2),

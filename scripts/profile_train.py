@@ -123,7 +123,10 @@ def main(argv=None):
         _emit("step_prepared", args.mode, B, (time.perf_counter() - t0) / args.iters)
         del s, step_pre, prepared
 
-        # the TRUE trainer step: raw batch -> in-jit prepare + raster + step
+        # the TRUE trainer step: raw batch -> in-jit prepare + raster + step.
+        # Fresh state: the original was DONATED to step_prepared's first call.
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 224, 224, 3)))
         step_full = make_train_step(model, smpl, cfg, donate=True, renderer=renderer)
         s = state
         s, m = step_full(s, raw, rng)

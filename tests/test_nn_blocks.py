@@ -70,9 +70,14 @@ def test_partial_iuv_head_group_independence():
     assert changed[1] and not changed[0] and not changed[2:].any()
 
 
-def test_pose_resnet_output_size():
-    # 128px: the stride plan (in/4) under test is size-independent
-    m = PoseResNet(resnet_nums=50)
+@pytest.mark.parametrize(
+    "nums", [18, pytest.param(50, marks=pytest.mark.slow)]
+)
+def test_pose_resnet_output_size(nums):
+    # 128px: the stride plan (in/4) under test is size- and depth-independent;
+    # the bottleneck-50 trace costs ~23s on this container -> slow tier (the
+    # production resnet-50 topology is also covered by the port e2e tests)
+    m = PoseResNet(resnet_nums=nums)
     x = jnp.zeros((1, 128, 128, 3))
     v = m.init({"params": jax.random.PRNGKey(0)}, x)
     out = m.apply(v, x)
@@ -122,14 +127,7 @@ def test_hmr_forward():
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
 
 
-def test_hrnet_remat_modules_grads_match():
-    """remat_scope='modules' (per-HRModule jax.checkpoint) must be a pure
-    memory/schedule change: forward outputs and parameter gradients equal
-    the unremat backbone bit-for-bit structure-wise (allclose numerically)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+def _tiny_hrnet_pair():
     from danet_densepose2smpl_tpu.nn.hrnet import PoseHighResolutionNet
 
     tiny_stages = (
@@ -137,10 +135,29 @@ def test_hrnet_remat_modules_grads_match():
         (1, 3, (1, 1, 1), (8, 16, 32)),
     )
     x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32))
-
     base = PoseHighResolutionNet(stages=tiny_stages, train=True)
     rem = PoseHighResolutionNet(stages=tiny_stages, train=True, remat_modules=True)
     variables = base.init({"params": jax.random.PRNGKey(0)}, x)
+    return base, rem, variables, x
+
+
+def test_hrnet_remat_modules_forward_match():
+    """remat_scope='modules' shares the exact param tree and forward values
+    with the unremat backbone (fast tier; the gradient-equality proof is the
+    slow-tier test below — its two value_and_grad traces dominate the fast
+    suite's budget, measured 65s on this 1-core container)."""
+    base, rem, variables, x = _tiny_hrnet_pair()
+    out0 = base.apply(variables, x, mutable=["batch_stats"])[0]
+    out1 = rem.apply(variables, x, mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_hrnet_remat_modules_grads_match():
+    """remat_scope='modules' (per-HRModule jax.checkpoint) must be a pure
+    memory/schedule change: forward outputs and parameter gradients equal
+    the unremat backbone bit-for-bit structure-wise (allclose numerically)."""
+    base, rem, variables, x = _tiny_hrnet_pair()
 
     def loss(model, params):
         out, _ = model.apply(

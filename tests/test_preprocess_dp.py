@@ -59,13 +59,115 @@ def test_db_coco_extract(tmp_path, rng):
     p = tmp_path / "dp.json"
     p.write_text(json.dumps(db))
     out = str(tmp_path / "dp.npz")
-    n = db_coco_extract(str(p), out)
+    n = db_coco_extract(str(p), out, img_prefix="train2014")
     assert n == 1
     d = np.load(out, allow_pickle=True)
-    assert d["imgname"][0] == "img1.jpg"
+    assert d["imgname"][0] == "train2014/img1.jpg"
     np.testing.assert_allclose(d["center"][0], [70, 105])
+    # reference dp_coco.py:15,66: scale = 1.2 * max(w, h) / 200
+    np.testing.assert_allclose(d["scale"][0], 1.2 * 150.0 / 200.0)
     assert d["smpl_2dkps"].shape == (1, 24, 3)
     assert d["dp_annot"][0]["dp_I"] == [1.0, 2.0]
+    assert d["im_id"][0] == 1
+    # COCO-17 kps land at the GT-24 indices of dp_coco.py:12 (joints_idx),
+    # visibility binarized — NOT at slots 0..16
+    from danet_densepose2smpl_tpu.data.preprocess import COCO17_TO_GT24
+
+    kps = np.asarray(ann["keypoints"], np.float64).reshape(17, 3)
+    got = d["part"][0]
+    np.testing.assert_allclose(got[list(COCO17_TO_GT24), :2], kps[:, :2])
+    np.testing.assert_allclose(
+        got[list(COCO17_TO_GT24), 2], (kps[:, 2] > 0).astype(np.float64)
+    )
+    untouched = sorted(set(range(24)) - set(COCO17_TO_GT24))
+    np.testing.assert_array_equal(got[untouched], 0.0)
+
+
+def _valid_dp_ann(aid=7, **over):
+    mask = np.zeros((256, 256), np.uint8)
+    mask[10:60, 10:60] = 1
+    ann = {
+        "id": aid,
+        "image_id": 1,
+        "iscrowd": 0,
+        "bbox": [5.0, 5.0, 80.0, 120.0],
+        "keypoints": [10.0, 12.0, 2.0] * 17,
+        "dp_masks": [encode_rle(mask)] + [[]] * 13,
+        "dp_I": [3.0, 4.0],
+        "dp_U": [0.1, 0.9],
+        "dp_V": [0.2, 0.8],
+        "dp_x": [50.0, 60.0],
+        "dp_y": [40.0, 70.0],
+    }
+    ann.update(over)
+    return ann
+
+
+def test_dp_coco_preflight(tmp_path):
+    """Schema go/no-go for the real densepose json (r3 VERDICT missing #2):
+    hard violations fail, handled quirks only warn/count."""
+    from danet_densepose2smpl_tpu.data.preprocess import check_dp_coco_json
+    from danet_densepose2smpl_tpu.data.rle import compress_counts
+
+    comp_masks = [
+        {"size": m["size"], "counts": compress_counts(m["counts"]).decode("ascii")}
+        if m else []
+        for m in _valid_dp_ann()["dp_masks"]
+    ]
+    db = {
+        "images": [{"id": 1, "file_name": "a.jpg"}],
+        "annotations": [
+            _valid_dp_ann(1),
+            _valid_dp_ann(2, dp_masks=comp_masks, iscrowd=1),
+            {"id": 3, "image_id": 1, "bbox": [0, 0, 5, 5]},  # no dp -> skipped
+            _valid_dp_ann(4, keypoints=None, dp_U=[0.1, 1.7]),  # warns, still GO
+        ],
+    }
+    p = tmp_path / "ok.json"
+    p.write_text(json.dumps(db))
+    rep = check_dp_coco_json(str(p))
+    assert rep["ok"], rep["errors"]
+    s = rep["stats"]
+    assert s["dp_annotations"] == 3 and s["annotations"] == 4
+    assert s["crowd_with_dp"] == 1 and s["no_keypoints"] == 1
+    assert s["rle_compressed"] == 1 and s["rle_uncompressed"] == 2
+    assert any("dp_U" in w for w in rep["warnings"])
+
+    # hard failures: ragged point lists, unresolvable image_id, missing dp_V
+    bad = {
+        "images": [{"id": 1, "file_name": "a.jpg"}],
+        "annotations": [
+            _valid_dp_ann(1, dp_x=[1.0]),
+            _valid_dp_ann(2, image_id=99),
+            {k: v for k, v in _valid_dp_ann(3).items() if k != "dp_V"},
+        ],
+    }
+    p2 = tmp_path / "bad.json"
+    p2.write_text(json.dumps(bad))
+    rep2 = check_dp_coco_json(str(p2))
+    assert not rep2["ok"]
+    text = " ".join(rep2["errors"])
+    assert "ragged" in text and "not in images" in text and "dp_V" in text
+
+
+def test_preprocess_cli_go_no_go(tmp_path, capsys):
+    from danet_densepose2smpl_tpu.cli.preprocess import main as cli_main
+
+    db = {"images": [{"id": 1, "file_name": "a.jpg"}],
+          "annotations": [_valid_dp_ann(1)]}
+    p = tmp_path / "dp.json"
+    p.write_text(json.dumps(db))
+    out = str(tmp_path / "dp.npz")
+    assert cli_main(["--json", str(p), "--out", out]) == 0
+    assert "GO" in capsys.readouterr().out
+    assert np.load(out, allow_pickle=True)["imgname"].shape == (1,)
+
+    bad = {"images": [{"id": 1, "file_name": "a.jpg"}],
+           "annotations": [_valid_dp_ann(1, dp_x=[1.0])]}
+    p2 = tmp_path / "bad.json"
+    p2.write_text(json.dumps(bad))
+    assert cli_main(["--json", str(p2), "--check"]) == 1
+    assert "NO-GO" in capsys.readouterr().out
 
 
 def test_symmetric_densepose(rng):

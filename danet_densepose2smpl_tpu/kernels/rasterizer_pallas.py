@@ -351,13 +351,16 @@ def _band_range_setup(verts_px, faces, face_tex, out_size, orig_size):
     hi = nc - jnp.argmax(t[..., ::-1], axis=-1)                 # one past the last
     lo = jnp.where(any_t, lo, 0).astype(jnp.int32)
     hi = jnp.where(any_t, hi, 0).astype(jnp.int32)
-    return e, zc, meta, tex_b, lo, hi
+    # (B, 1, NB): Mosaic requires a block's last two dims to be (8, 128)-
+    # divisible OR equal to the array dims; a (1, NB) block of a (B, NB)
+    # array violates that (1 != B), a (1, 1, NB) block of (B, 1, NB) does not
+    return e, zc, meta, tex_b, lo[:, None, :], hi[:, None, :]
 
 
 def _band_range_kernel(lo_ref, hi_ref, e_ref, zc_ref, meta_ref, tex_ref, out_ref,
                        *, out_size):
-    """Grid (B, band). Blocks: lo/hi (1, NB) SMEM; e (1, 9, Fp); zc (1, 3, Fp);
-    meta (1, 2, Fp); tex (1, Fp, C); out (1, 1, P_band, C)."""
+    """Grid (B, band). Blocks: lo/hi (1, 1, NB) SMEM; e (1, 9, Fp);
+    zc (1, 3, Fp); meta (1, 2, Fp); tex (1, Fp, C); out (1, 1, P_band, C)."""
     band = pl.program_id(1)
     c = tex_ref.shape[-1]
     p = out_ref.shape[2]
@@ -398,7 +401,7 @@ def _band_range_kernel(lo_ref, hi_ref, e_ref, zc_ref, meta_ref, tex_ref, out_ref
     zbuf0 = jnp.full((p, 1), _BIG, jnp.float32)
     tex0 = jnp.zeros((p, c), jnp.float32)
     _, texacc = jax.lax.fori_loop(
-        lo_ref[0, band], hi_ref[0, band], body, (zbuf0, tex0)
+        lo_ref[0, 0, band], hi_ref[0, 0, band], body, (zbuf0, tex0)
     )
     out_ref[0, 0] = texacc
 
@@ -425,8 +428,8 @@ def rasterize_flat_pallas_bandrange(
         functools.partial(_band_range_kernel, out_size=s),
         grid=(b, n_bands),
         in_specs=[
-            pl.BlockSpec((1, n_bands), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_bands), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_bands), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_bands), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 9, fp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, fp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, fp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),

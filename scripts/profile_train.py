@@ -67,7 +67,8 @@ def _timed(fn, fetch, iters):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="fp32_b16", choices=sorted(MODES))
-    p.add_argument("--phase", default="steps", choices=["steps", "prep", "parts"])
+    p.add_argument("--phase", default="steps",
+                   choices=["steps", "prep", "parts", "fwdsplit"])
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -150,6 +151,43 @@ def main(argv=None):
         dt_norast = prep_with(None)
         _emit("prepare_no_raster", args.mode, B, dt_norast)
         _emit("raster_share", args.mode, B, dt_full - dt_norast)
+
+    elif args.phase == "fwdsplit":
+        # attribute the train-mode forward_loss cost: model.apply alone
+        # (train graph: BN batch stats, STN jitter, PartDrop) vs + losses
+        prepared = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, B, num_verts=6890))
+        from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+
+        mp = cfg.danet.compute_dtype == "bfloat16"
+        fwd_params = cast_float_tree(state.params, jnp.bfloat16) if mp else state.params
+        img = prepared["img"].astype(jnp.bfloat16) if mp else prepared["img"]
+        r1, r2 = jax.random.split(rng)
+
+        def apply_only(p, bs, im):
+            out, _ = model.apply({"params": p, "batch_stats": bs}, im,
+                                 mutable=["batch_stats"],
+                                 rngs={"jitter": r1, "partdrop": r2})
+            return sum(jnp.sum(v.astype(jnp.float32)) for v in
+                       (out["para"], out["iuv_raw"]["u"], out["part_iuv_clean"]))
+
+        f = jax.jit(apply_only)
+        dt = _timed(lambda: f(fwd_params, state.batch_stats, img),
+                    lambda o: float(o), args.iters)
+        _emit("apply_train_mode", args.mode, B, dt)
+
+        loss_core = make_loss_fn(model, smpl, cfg)
+        g = jax.jit(lambda p, bs, b: loss_core(p, bs, b, r1, r2)[0])
+        dt = _timed(lambda: g(state.params, state.batch_stats, prepared),
+                    lambda o: float(o), args.iters)
+        _emit("forward_loss", args.mode, B, dt)
+
+        # eval-mode forward at the same batch for the train/serve fwd gap
+        emodel = DaNet(cfg.danet, train=False)
+        h = jax.jit(lambda p, bs, im: jnp.sum(
+            emodel.apply({"params": p, "batch_stats": bs}, im)["para"].astype(jnp.float32)))
+        dt = _timed(lambda: h(fwd_params, state.batch_stats, img),
+                    lambda o: float(o), args.iters)
+        _emit("apply_eval_mode", args.mode, B, dt)
 
     elif args.phase == "parts":
         prepared = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, B, num_verts=6890))

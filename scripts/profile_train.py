@@ -38,8 +38,10 @@ MODES = {
     "bf16_remat_b64": (64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
     "bf16_remat_b128": (128, {"compute_dtype": "bfloat16", "remat_backbone": True}),
     "bf16_remat_b192": (192, {"compute_dtype": "bfloat16", "remat_backbone": True}),
-    "bf16_remat_b256c2": (256, {"compute_dtype": "bfloat16", "remat_backbone": True,
-                                "part_head_chunks": 2}),
+    # NOTE: part_head_chunks is an inference-only knob (the chunked STN path
+    # gates on `not self.train`), so the batch-scaling probe past 192 is the
+    # plain configuration
+    "bf16_remat_b256": (256, {"compute_dtype": "bfloat16", "remat_backbone": True}),
     "bf16_rematmod_b64": (64, {"compute_dtype": "bfloat16", "remat_backbone": True,
                                "remat_scope": "modules"}),
     "bf16_rematmod_b128": (128, {"compute_dtype": "bfloat16", "remat_backbone": True,

@@ -73,7 +73,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="fp32_b16", choices=sorted(MODES))
     p.add_argument("--phase", default="steps",
-                   choices=["steps", "prep", "parts", "fwdsplit"])
+                   choices=["steps", "prep", "parts", "fwdsplit", "losssplit"])
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -193,6 +193,99 @@ def main(argv=None):
         dt = _timed(lambda: h(fwd_params, state.batch_stats, img),
                     lambda o: float(o), args.iters)
         _emit("apply_eval_mode", args.mode, B, dt)
+
+    elif args.phase == "losssplit":
+        # attribute the loss-side cost (fwdsplit showed forward_loss -
+        # apply_train_mode = ~133 ms at bf16 B=64): each loss block timed as
+        # its own jitted graph on the REAL model outputs (captured once)
+        prepared = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, B, num_verts=6890))
+        from danet_densepose2smpl_tpu.models import losses as L
+        from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
+        from danet_densepose2smpl_tpu.smpl import smpl_forward
+        from danet_densepose2smpl_tpu.train.objective import (
+            compute_losses,
+            part_iuv_gt_crops,
+        )
+
+        r1, r2 = jax.random.split(rng)
+        mp = cfg.danet.compute_dtype == "bfloat16"
+        if mp:
+            from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+            fwd_params = cast_float_tree(state.params, jnp.bfloat16)
+            img = prepared["img"].astype(jnp.bfloat16)
+        else:
+            fwd_params, img = state.params, prepared["img"]
+        out, _ = jax.jit(lambda p, bs, im: model.apply(
+            {"params": p, "batch_stats": bs}, im, mutable=["batch_stats"],
+            rngs={"jitter": r1, "partdrop": r2}))(fwd_params, state.batch_stats, img)
+        out = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, out)
+        out = jax.block_until_ready(out)
+        raw = out["iuv_raw"]
+        fetch = lambda o: float(o)
+
+        full = jax.jit(lambda o, b: compute_losses(
+            cfg.danet, smpl, o, b,
+            openpose_weight=cfg.train.openpose_train_weight,
+            gt_weight=cfg.train.gt_train_weight)[0])
+        dt = _timed(lambda: full(out, prepared), fetch, args.iters)
+        _emit("losses_all", args.mode, B, dt)
+
+        def body_uv(o, b):
+            u_g, v_g, i_g, a_g = iuv_img2map(b["uv_image_gt"])
+            r = o["iuv_raw"]
+            lu, lv, li, la = L.body_uv_losses(
+                r["u"], r["v"], r["index"], r["ann"],
+                u_g, v_g, i_g, a_g, b["has_iuv"], cfg.danet)
+            return lu + lv + li + la
+        dt = _timed(lambda: jax.jit(body_uv)(out, prepared), fetch, args.iters)
+        _emit("loss_body_uv", args.mode, B, dt)
+
+        def gt_crops(o, b):
+            u_g, v_g, i_g, _ = iuv_img2map(b["uv_image_gt"])
+            return jnp.sum(part_iuv_gt_crops(u_g, v_g, i_g, o["iuv_raw"]["stn_theta"]))
+        dt = _timed(lambda: jax.jit(gt_crops)(out, prepared), fetch, args.iters)
+        _emit("loss_part_gt_crops", args.mode, B, dt)
+
+        u_g, v_g, i_g, _ = jax.jit(lambda b: iuv_img2map(b["uv_image_gt"]))(prepared)
+        part_gt = jax.block_until_ready(
+            jax.jit(lambda u, v, i, t: part_iuv_gt_crops(u, v, i, t))(
+                u_g, v_g, i_g, raw["stn_theta"]))
+
+        def partial_uv(o, pg, b):
+            lu, lv, li = L.partial_uv_losses(
+                o["iuv_raw"]["part_iuv"], pg, b["has_iuv"], cfg.danet)
+            return lu + lv + li
+        dt = _timed(lambda: jax.jit(partial_uv)(out, part_gt, prepared), fetch, args.iters)
+        _emit("loss_partial_uv", args.mode, B, dt)
+
+        if "dp_dict" in prepared:
+            def dp(o, b):
+                r = o["iuv_raw"]
+                a, bb, cc, dd = L.dp_uvia_losses(
+                    r["u"], r["v"], r["index"], r["ann"],
+                    b["dp_dict"], b["has_dp"], cfg.danet)
+                return a + bb + cc + dd
+            dt = _timed(lambda: jax.jit(dp)(out, prepared), fetch, args.iters)
+            _emit("loss_dp", args.mode, B, dt)
+
+        def smpl_side(o, b):
+            s_out = smpl_forward(smpl, o["pred_shape"], o["pred_rotmat"])
+            kp2d = L.reproject(s_out.joints, o["pred_cam"], float(cfg.danet.img_size))
+            l = L.keypoint_2d_loss(kp2d, b["keypoints"], 0.0, 1.0)
+            l += L.keypoint_3d_loss(s_out.joints, b["pose_3d"], b["has_pose_3d"])
+            gt_joints = smpl_forward(smpl, b["opt_betas"], b["opt_rotmat"]).smpl_joints
+            return l + jnp.sum(gt_joints * 0) + jnp.sum(s_out.vertices * 0)
+        dt = _timed(lambda: jax.jit(smpl_side)(out, prepared), fetch, args.iters)
+        _emit("loss_smpl_side", args.mode, B, dt)
+
+        if "heatmaps" in raw:
+            def stnhm(o, b):
+                return L.stn_heatmap_loss(
+                    o["iuv_raw"]["heatmaps"], b["target_smpl_kps"], cfg.danet)
+            dt = _timed(lambda: jax.jit(stnhm)(out, prepared), fetch, args.iters)
+            _emit("loss_stn_heatmap", args.mode, B, dt)
 
     elif args.phase == "parts":
         prepared = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, B, num_verts=6890))

@@ -32,9 +32,17 @@ def _safe_div(num, den):
 
 
 def cross_entropy_int(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Per-element CE with integer labels over the last logits axis."""
+    """Per-element CE with integer labels over the last logits axis.
+
+    Selects logp[label] by a one-hot contraction, NOT take_along_axis: XLA
+    lowers the per-element gather (and its scatter-add transpose) terribly on
+    TPU — measured 82.0 ms vs 4.1 ms for the one-hot form on the partial-IUV
+    loss shape (B=64, 24x56x56x7) on v5e, bit-identical results
+    (scripts/probe_partial_loss.py). The class axis is tiny everywhere this
+    is used (7/15/25), so the K-fold broadcast is cheap."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    oh = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(logp * oh, axis=-1)
 
 
 # --------------------------------------------------------------------------

@@ -96,8 +96,8 @@ def rasterize_flat(
     pxy = jnp.stack([gx, gy], axis=-1).reshape(1, s * s, 1, 2)  # (1, P, 1, 2)
 
     def chunk_step(carry, inp):
-        zbuf, out = carry                       # (B, P), (B, P, C)
-        cxy, cz, ctex = inp                     # (B, K, 3, 2), (B, K, 3), (K, C)
+        zbuf, bestid, offs = carry              # (B, P), (B, P), ()
+        cxy, cz = inp                           # (B, K, 3, 2), (B, K, 3)
 
         v0, v1, v2 = cxy[:, :, 0], cxy[:, :, 1], cxy[:, :, 2]   # (B, K, 2)
         # twice signed area
@@ -129,23 +129,32 @@ def rasterize_flat(
         valid = inside & (jnp.abs(area)[:, None, :] > 1e-12) & (zpix > 1e-6) & (cz > 0).all(-1)[:, None, :]
         zmask = jnp.where(valid, zpix, _BIG)    # (B, P, K)
 
+        # Winner selection carries the GLOBAL face id, not the texture: the
+        # per-chunk take_along_axis + ctex[best] row gather was the whole
+        # cost of this loop on TPU (119.3 -> 45.1 ms at B=64/13.8k faces,
+        # pixel-exact — scripts/probe_raster_gather.py). min() reads the same
+        # value argmin points at; ties keep argmin's first-index semantics
+        # and the strict `<` keeps the earlier chunk, exactly as before.
         best = jnp.argmin(zmask, axis=-1)       # (B, P)
-        zbest = jnp.take_along_axis(zmask, best[..., None], axis=-1)[..., 0]
-        tex_best = ctex[best]                    # (B, P, C)
+        zbest = jnp.min(zmask, axis=-1)
 
         better = zbest < zbuf
         new_zbuf = jnp.where(better, zbest, zbuf)
-        new_out = jnp.where(better[..., None], tex_best, out)
-        return (new_zbuf, new_out), None
+        new_best = jnp.where(better, offs + best, bestid)
+        return (new_zbuf, new_best, offs + zmask.shape[-1]), None
 
     zbuf0 = jnp.full((b, s * s), _BIG, dtype=verts_px.dtype)
-    out0 = jnp.zeros((b, s * s, c), dtype=face_tex.dtype)
-    (zbuf, out), _ = jax.lax.scan(
+    n_faces_padded = n_chunks * chunk
+    best0 = jnp.full((b, s * s), n_faces_padded, dtype=jnp.int32)
+    (zbuf, bestid, _), _ = jax.lax.scan(
         chunk_step,
-        (zbuf0, out0),
-        (xy.transpose(1, 0, 2, 3, 4), z.transpose(1, 0, 2, 3), tex),
+        (zbuf0, best0, jnp.int32(0)),
+        (xy.transpose(1, 0, 2, 3, 4), z.transpose(1, 0, 2, 3)),
     )
-    return out.reshape(b, s, s, c)
+    # ONE texture fetch at the end (row n_faces_padded = background zeros)
+    table = jnp.concatenate([tex.reshape(n_faces_padded, c),
+                             jnp.zeros((1, c), face_tex.dtype)], axis=0)
+    return table[bestid].reshape(b, s, s, c)
 
 
 class IUVRenderer:

@@ -293,3 +293,55 @@ def test_stn_heatmap_loss_matches_torch(rng):
     # the vectorized target evaluates the Gaussian everywhere (no 7x7 box
     # truncation); the tail beyond 3 sigma is < 1.2e-2 per pixel
     np.testing.assert_allclose(float(got), float(exp), rtol=2e-2)
+
+
+def test_part_iuv_gt_crops_matches_naive_gather(rng):
+    """The one-hot-matmul `part_iuv_gt_crops` must reproduce the naive
+    design exactly: per part, gather its 6 mapped channels from the 25-ch
+    GT stacks (`m[..., mapping]`), prepend the zero/background slot 0, and
+    crop part-major with the separable weights. Guards the selection-table
+    layout ([u(7)|v(7)|i(7)], bg at flat index 14) and the pixel-major crop
+    einsums against regression; on-chip the two were measured bit-identical
+    (scripts/probe_part_crops.py, max_abs_err=0.0)."""
+    import jax
+    from danet_densepose2smpl_tpu.ops.imwarp import separable_crop_per_part
+    from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
+    from danet_densepose2smpl_tpu.train.objective import part_iuv_gt_crops
+
+    b, s = 3, 16
+    _, (u_gt, v_gt, i_gt, _) = make_iuv_batch(rng, b=b, s=s)
+    centers = rng.uniform(-0.5, 0.5, (b, 24, 2)).astype(np.float32)
+    scales = rng.uniform(0.2, 0.6, (b, 24, 1, 1)).astype(np.float32)
+    theta = np.zeros((b, 24, 2, 3), np.float32)
+    theta[..., 0, 0] = scales[..., 0, 0]
+    theta[..., 1, 1] = scales[..., 0, 0]
+    theta[..., :, 2] = centers
+    u_gt, v_gt, i_gt, theta = map(jnp.asarray, (u_gt, v_gt, i_gt, theta))
+
+    mapping = jnp.asarray(DP2SMPL_MAPPING)
+
+    def gather(m):  # (B, S, S, 25) -> (B, 24, S, S, 6)
+        return m[..., mapping].transpose(0, 3, 1, 2, 4)
+
+    gu, gv, gi = gather(u_gt), gather(v_gt), gather(i_gt)
+    bg_i = (jnp.sum(gi, axis=-1, keepdims=True) < 0.5).astype(gi.dtype)
+    zeros = jnp.zeros_like(bg_i)
+    stacks = jnp.stack([
+        jnp.concatenate([zeros, gu], axis=-1),
+        jnp.concatenate([zeros, gv], axis=-1),
+        jnp.concatenate([bg_i, gi], axis=-1),
+    ], axis=-2)                                               # (B, 24, S, S, 3, 7)
+    flat = stacks.reshape(stacks.shape[:4] + (21,))
+    exp = separable_crop_per_part(
+        flat, theta[..., :, 2], theta[..., 0, 0], s,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(stacks.shape)
+
+    got = part_iuv_gt_crops(u_gt, v_gt, i_gt, theta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-6)
+
+    # the stop_grad=False path must carry gradients through the thetas
+    g = jax.grad(
+        lambda t: jnp.sum(part_iuv_gt_crops(u_gt, v_gt, i_gt, t, stop_grad=False) ** 2)
+    )(theta)
+    assert float(jnp.abs(g).sum()) > 0.0

@@ -59,11 +59,13 @@ class PartRenderer:
         labels) takes precedence; else per-vertex labels (`vertex_parts` or
         the LBS-argmax fallback) are broadcast to faces.
 
-        `backend`: "xla" | "pallas_banded" | "auto" (default). At 224x224
-        the banded Pallas kernel measured 1.37x the XLA scan on the v5e
-        chip (PERF.md raster race) — per-band VMEM state is what makes the
-        50k-pixel z-buffer tractable — so "auto" picks it on TPU and the
-        portable XLA scan everywhere else."""
+        `backend`: "xla" | "pallas_banded" | "auto" (default). The r4
+        carry-id fix (one texture fetch after the scan instead of a
+        per-chunk take_along_axis) made the XLA scan 2.8x faster at
+        224x224 on the v5e chip (166.7 ms vs 343.6 banded Pallas at B=16,
+        PERF.md raster race re-run), so "auto" now picks the XLA scan on
+        every platform; the banded kernel remains selectable (its per-band
+        VMEM state is still the only Pallas design that compiles at 224)."""
         self.img_size = img_size
         self.focal_length = focal_length
         self.chunk = chunk
@@ -80,12 +82,12 @@ class PartRenderer:
 
     def __call__(self, verts: jnp.ndarray, cam: jnp.ndarray):
         """verts (B, V, 3), cam (B, 3) -> (mask (B, S, S), parts (B, S, S))."""
-        import jax
-
         vpx = project_weak_perspective(verts, cam, float(self.img_size), self.focal_length)
         backend = self.backend
         if backend == "auto":
-            backend = "pallas_banded" if jax.default_backend() == "tpu" else "xla"
+            # post carry-id fix the XLA scan wins at every measured shape
+            # (PERF.md raster race): 166.7 ms vs 343.6 banded at B=16 @224
+            backend = "xla"
         if backend == "pallas_banded":
             from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import (
                 rasterize_flat_pallas_banded,

@@ -35,6 +35,10 @@ MODES = {
     "fp32_b16": (16, {}),
     "bf16_b16": (16, {"compute_dtype": "bfloat16"}),
     "bf16_remat_b16": (16, {"compute_dtype": "bfloat16", "remat_backbone": True}),
+    # no-remat probes: remat exists to fit HBM; if these compile and run,
+    # the re-forward FLOPs are pure overhead at that batch
+    "bf16_b64": (64, {"compute_dtype": "bfloat16"}),
+    "bf16_b128": (128, {"compute_dtype": "bfloat16"}),
     "bf16_remat_b64": (64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
     "bf16_remat_b128": (128, {"compute_dtype": "bfloat16", "remat_backbone": True}),
     "bf16_remat_b192": (192, {"compute_dtype": "bfloat16", "remat_backbone": True}),

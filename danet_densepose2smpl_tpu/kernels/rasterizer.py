@@ -135,7 +135,9 @@ def rasterize_flat(
         # pixel-exact — scripts/probe_raster_gather.py). min() reads the same
         # value argmin points at; ties keep argmin's first-index semantics
         # and the strict `<` keeps the earlier chunk, exactly as before.
-        best = jnp.argmin(zmask, axis=-1)       # (B, P)
+        # .astype(int32): under jax_enable_x64 argmin returns int64, which
+        # would promote `offs + best` and break the scan's int32 carry dtype.
+        best = jnp.argmin(zmask, axis=-1).astype(jnp.int32)  # (B, P)
         zbest = jnp.min(zmask, axis=-1)
 
         better = zbest < zbuf

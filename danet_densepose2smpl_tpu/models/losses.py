@@ -39,7 +39,14 @@ def cross_entropy_int(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     TPU — measured 82.0 ms vs 4.1 ms for the one-hot form on the partial-IUV
     loss shape (B=64, 24x56x56x7) on v5e, bit-identical results
     (scripts/probe_partial_loss.py). The class axis is tiny everywhere this
-    is used (7/15/25), so the K-fold broadcast is cheap."""
+    is used (7/15/25), so the K-fold broadcast is cheap.
+
+    Out-of-range labels (e.g. -1 or >= num_classes) produce an all-zero
+    one-hot row and therefore contribute CE = 0 — they are silently ignored,
+    NOT clamped to a real class the way take_along_axis would. All current
+    callers pass in-range int32 labels (argmax outputs, dp_annot int32
+    fields); a future ignore-label convention can rely on the zero-loss
+    semantics, but callers expecting clamping must mask explicitly."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     oh = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
     return -jnp.sum(logp * oh, axis=-1)

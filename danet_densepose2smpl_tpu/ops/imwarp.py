@@ -172,3 +172,23 @@ def separable_crop_per_part(
     wy = _axis_weights(centers[..., 1], scales, h, out_size, dt)
     tmp = jnp.einsum("bkoh,bkhwc->bkowc", wy, images, precision=precision)
     return jnp.einsum("bkowc,bkpw->bkopc", tmp, wx, precision=precision)
+
+
+def separable_crop_pixel_major(
+    images: jnp.ndarray, centers: jnp.ndarray, scales: jnp.ndarray, out_size: int,
+    precision=None,
+) -> jnp.ndarray:
+    """`separable_crop_per_part` for pixel-major input: each part crops its
+    own per-pixel slice of a (B, H, W, K, C) tensor, without a part-major
+    transpose ever materializing (the layout the one-hot channel-selection
+    matmul in `train/objective.py` produces).
+
+    images: (B, H, W, K, C); centers (B, K, 2); scales (B, K).
+    Returns (B, K, S, S, C) — identical to
+    `separable_crop_per_part(images.transpose(0, 3, 1, 2, 4), ...)`."""
+    h, w = images.shape[1:3]
+    dt = images.dtype
+    wx = _axis_weights(centers[..., 0], scales, w, out_size, dt)
+    wy = _axis_weights(centers[..., 1], scales, h, out_size, dt)
+    tmp = jnp.einsum("bkoh,bhwkc->bkowc", wy, images, precision=precision)
+    return jnp.einsum("bkowc,bkpw->bkopc", tmp, wx, precision=precision)

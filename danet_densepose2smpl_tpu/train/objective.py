@@ -27,7 +27,7 @@ import numpy as np
 
 from danet_densepose2smpl_tpu.core.config import DaNetConfig
 from danet_densepose2smpl_tpu.models import losses as L
-from danet_densepose2smpl_tpu.ops.imwarp import _axis_weights
+from danet_densepose2smpl_tpu.ops.imwarp import separable_crop_pixel_major
 from danet_densepose2smpl_tpu.ops.iuvmap import iuv_img2map
 from danet_densepose2smpl_tpu.ops.structure import DP2SMPL_MAPPING
 from danet_densepose2smpl_tpu.smpl import SMPLModel, smpl_forward
@@ -103,12 +103,10 @@ def part_iuv_gt_crops(u_gt, v_gt, index_gt, theta, stop_grad: bool = True):
 
     if stop_grad:
         theta = jax.lax.stop_gradient(theta)
-    wx = _axis_weights(theta[..., 0, 2], theta[..., 0, 0], s, s, dt)
-    wy = _axis_weights(theta[..., 1, 2], theta[..., 0, 0], s, s, dt)
-    tmp = jnp.einsum("bkoh,bhwkc->bkowc", wy, sel,
-                     precision=jax.lax.Precision.HIGHEST)
-    crops = jnp.einsum("bkowc,bkpw->bkopc", tmp, wx,
-                       precision=jax.lax.Precision.HIGHEST)
+    centers = jnp.stack([theta[..., 0, 2], theta[..., 1, 2]], axis=-1)
+    crops = separable_crop_pixel_major(
+        sel, centers, theta[..., 0, 0], s, precision=jax.lax.Precision.HIGHEST
+    )
     return crops.reshape(b, n_parts, s, s, 3, 7)
 
 

@@ -63,3 +63,18 @@ def test_partial_head_fused_entry_shares_params(rng):
     )
     assert got.shape == exp.shape == (b, k, s, s, 3, 7)
     np.testing.assert_allclose(got, exp, atol=2e-5)
+
+
+def test_pixel_major_crop_matches_part_major(rng):
+    """separable_crop_pixel_major on (B,H,W,K,C) == separable_crop_per_part
+    on the part-major transpose (the contract train/objective.py relies on)."""
+    from danet_densepose2smpl_tpu.ops.imwarp import (
+        separable_crop_per_part, separable_crop_pixel_major)
+    b, h, w, k, c, s = 2, 12, 12, 5, 3, 8
+    imgs = jnp.asarray(rng.rand(b, h, w, k, c).astype(np.float32))
+    centers = jnp.asarray(rng.uniform(-0.6, 0.6, (b, k, 2)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.2, 0.9, (b, k)).astype(np.float32))
+    exp = np.asarray(separable_crop_per_part(
+        imgs.transpose(0, 3, 1, 2, 4), centers, scales, s))
+    got = np.asarray(separable_crop_pixel_major(imgs, centers, scales, s))
+    np.testing.assert_allclose(got, exp, atol=1e-6)

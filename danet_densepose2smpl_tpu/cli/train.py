@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--datasets", nargs="*", default=[],
                    help="name=labels.npz:img_dir entries")
     p.add_argument("--fits_dir", default=None, help="SPIN final-fits directory")
+    p.add_argument("--uv_symmetry_path", default=None,
+                   help="official UV_symmetry_transforms.mat (enables DP flip aug; "
+                        "also via $DANET_UV_SYMMETRY)")
     p.add_argument("--static_fits_dir", default=None)
     p.add_argument("--time_to_run", type=float, default=None, help="seconds before clean save+exit")
     p.add_argument("--vis_interval", type=int, default=None)
@@ -90,6 +93,9 @@ def main(argv=None):
     smpl, atlas, _, _, _, _ = load_assets(args)
 
     # --- datasets ---
+    from danet_densepose2smpl_tpu.smpl.densepose_methods import find_uv_symmetry
+
+    uv_symmetry = find_uv_symmetry(args.uv_symmetry_path)
     datasets = {}
     if args.synthetic_data:
         import tempfile
@@ -100,6 +106,7 @@ def main(argv=None):
         npz, img_dir = write_synthetic_dataset(tmp, n=args.num_samples, with_dp=True)
         datasets["h36m"] = NpzDataset(npz, img_dir, name="h36m", is_train=True,
                                       heatmap_size=cfg.danet.heatmap_size,
+                                      uv_symmetry=uv_symmetry,
                                       return_raw=args.device_preprocess)
         args.train_data = "single"
     else:
@@ -108,6 +115,7 @@ def main(argv=None):
             npz, _, img_dir = rest.partition(":")
             datasets[name] = NpzDataset(npz, img_dir or None, name=name, is_train=True,
                                         heatmap_size=cfg.danet.heatmap_size,
+                                        uv_symmetry=uv_symmetry,
                                         return_raw=args.device_preprocess)
         if not datasets:
             raise SystemExit("--datasets required (or --synthetic-data)")

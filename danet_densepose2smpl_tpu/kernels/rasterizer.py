@@ -170,7 +170,18 @@ class IUVRenderer:
         focal_length: float = FOCAL_LENGTH,
         backend: str = "xla",
         chunk: int = 1024,
+        cull_verts: np.ndarray | None = None,
     ):
+        """backend: 'xla' | 'pallas' | 'pallas_bandrange'.
+
+        cull_verts: template SMPL vertices (V, 3). When given (and the mesh
+        orients cleanly), faces are rewound to a consistent outward winding
+        at init and each call skips back-facing faces exactly — on a closed
+        mesh they can never win a z-test (kernels/rasterizer_pallas.py::
+        backface_mask). Only the bandrange backend converts the skip into
+        saved work (culled faces leave every band's chunk range); for other
+        backends culling is ignored.
+        """
         self.atlas = atlas
         self.orig_size = float(orig_size)
         self.out_size = out_size
@@ -178,7 +189,23 @@ class IUVRenderer:
         self.backend = backend
         self.chunk = chunk
         self._vert_mapping = jnp.asarray(atlas.vert_mapping)
-        self._faces = jnp.asarray(atlas.faces)
+        faces = atlas.faces
+        self.cull = False
+        if cull_verts is not None:
+            from danet_densepose2smpl_tpu.smpl.densepose_atlas import orient_faces
+
+            oriented, conflicts = orient_faces(faces, np.asarray(cull_verts)[atlas.vert_mapping])
+            if conflicts == 0:
+                faces = oriented
+                self.cull = True
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"IUVRenderer: mesh orientation found {conflicts} "
+                    "conflicted edges; backface culling disabled (exact "
+                    "rendering preserved)", stacklevel=2)
+        self._faces = jnp.asarray(faces)
         self._face_tex = jnp.asarray(atlas.face_textures)
 
     def __call__(self, verts: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
@@ -191,6 +218,20 @@ class IUVRenderer:
 
             return rasterize_flat_pallas(
                 verts_px, self._faces, self._face_tex, self.out_size, self.orig_size
+            )
+        if self.backend == "pallas_bandrange":
+            from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import (
+                backface_mask,
+                rasterize_flat_pallas_bandrange,
+            )
+
+            mask = None
+            if self.cull:
+                mask = backface_mask(dp_verts, cam, self._faces,
+                                     self.orig_size, self.focal_length)
+            return rasterize_flat_pallas_bandrange(
+                verts_px, self._faces, self._face_tex, self.out_size,
+                self.orig_size, cull_mask=mask,
             )
         return rasterize_flat(
             verts_px, self._faces, self._face_tex, self.out_size, self.orig_size, self.chunk

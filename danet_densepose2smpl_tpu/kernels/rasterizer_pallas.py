@@ -192,19 +192,49 @@ def rasterize_flat_pallas(
 _BAND_ROWS = 8
 
 
-def _band_setup(verts_px, faces, face_tex, out_size, orig_size):
+def backface_mask(verts: jnp.ndarray, cam: jnp.ndarray, faces: jnp.ndarray,
+                  orig_size: float = 224.0, focal_length: float = 5000.0) -> jnp.ndarray:
+    """(B, F) bool — True for faces whose outward normal points away from
+    the camera (n . p > 0 with the camera at the origin of camera space).
+
+    On a closed orientable mesh with consistent outward winding (see
+    `smpl.densepose_atlas.orient_faces`) such faces can never be the first
+    hit along any view ray, so the rasterizer may skip them exactly.
+    `verts` are SMPL-space vertices, `cam` the weak-perspective (s, tx, ty)
+    — the same camera model as `project_weak_perspective`."""
+    tz = 2.0 * focal_length / (orig_size * cam[:, 0] + 1e-9)
+    t = jnp.stack([cam[:, 1], cam[:, 2], tz], axis=-1)
+    p = verts + t[:, None, :]                                  # camera space
+    tri = p[:, faces, :]                                       # (B, F, 3, 3)
+    n = jnp.cross(tri[:, :, 1] - tri[:, :, 0], tri[:, :, 2] - tri[:, :, 0])
+    centroid = tri.mean(axis=2)
+    return jnp.einsum("bfc,bfc->bf", n, centroid) > 0
+
+
+def _band_setup(verts_px, faces, face_tex, out_size, orig_size, cull_mask=None):
     """Face data sorted by bbox y-center + conservative (band, chunk) touch
     flags. Sorting concentrates each 128-face chunk into a narrow y band, so
-    most of the (band, chunk) grid is skipped."""
+    most of the (band, chunk) grid is skipped. `cull_mask` (B, F) marks faces
+    to skip entirely: they sort to the end (right before padding) and
+    contribute to no band's extent, so with the band-range variant they are
+    never even visited."""
     s = out_size
     scale = s / orig_size
     tri_y = verts_px[:, faces, 1] * scale                      # (B, F, 3)
     y_center = tri_y.mean(-1)
+    if cull_mask is not None:
+        y_center = jnp.where(cull_mask, jnp.inf, y_center)
     order = jnp.argsort(y_center, axis=1)                      # (B, F)
 
     e, zc, meta, tex = _face_setup(verts_px, faces, face_tex, s, orig_size)
     fp = e.shape[-1]
     f = faces.shape[0]
+    if cull_mask is not None:
+        # belt and braces: a chunk can mix culled and live faces, and the
+        # contiguous [lo, hi) ranges are conservative supersets — invalidate
+        # culled faces so they lose every z-test they do reach
+        live = 1.0 - cull_mask.astype(meta.dtype)              # (B, F)
+        meta = meta.at[:, 1, :f].multiply(live)
     # apply the per-batch sort to the face axis (padding stays at the end)
     pad_ids = jnp.broadcast_to(jnp.arange(f, fp), (e.shape[0], fp - f))
     order_p = jnp.concatenate([order, pad_ids], axis=1)        # (B, Fp)
@@ -218,6 +248,10 @@ def _band_setup(verts_px, faces, face_tex, out_size, orig_size):
     y_sorted = jnp.take_along_axis(tri_y, order[..., None], axis=1)
     y_min = jnp.floor(y_sorted.min(-1)) - 0.5
     y_max = jnp.ceil(y_sorted.max(-1)) + 0.5
+    if cull_mask is not None:
+        culled_sorted = jnp.take_along_axis(cull_mask, order, axis=1)
+        y_min = jnp.where(culled_sorted, 1e9, y_min)
+        y_max = jnp.where(culled_sorted, -1e9, y_max)
     y_min = jnp.concatenate([y_min, jnp.full_like(pad_ids, 1e9, dtype=y_min.dtype)], axis=1)
     y_max = jnp.concatenate([y_max, jnp.full_like(pad_ids, -1e9, dtype=y_max.dtype)], axis=1)
     n_chunks = fp // _CHUNK
@@ -341,9 +375,10 @@ def rasterize_flat_pallas_banded(
 # ~n_bands / (mean touched bands per chunk) with only B*n_bands grid cells.
 
 
-def _band_range_setup(verts_px, faces, face_tex, out_size, orig_size):
+def _band_range_setup(verts_px, faces, face_tex, out_size, orig_size, cull_mask=None):
     """_band_setup + per-(batch, band) contiguous chunk ranges [lo, hi)."""
-    e, zc, meta, tex_b, touch = _band_setup(verts_px, faces, face_tex, out_size, orig_size)
+    e, zc, meta, tex_b, touch = _band_setup(
+        verts_px, faces, face_tex, out_size, orig_size, cull_mask)
     nc = touch.shape[-1]
     t = touch > 0                                               # (B, NB, NC)
     any_t = t.any(-1)
@@ -414,12 +449,15 @@ def rasterize_flat_pallas_bandrange(
     out_size: int,
     orig_size: float = 224.0,
     interpret: bool = False,
+    cull_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Band-range Pallas backend (same contract as rasterize_flat)."""
+    """Band-range Pallas backend (same contract as rasterize_flat).
+    `cull_mask` (B, F) bool: faces to skip exactly (see `backface_mask`)."""
     b = verts_px.shape[0]
     s = out_size
     c = face_tex.shape[-1]
-    e, zc, meta, tex_b, lo, hi = _band_range_setup(verts_px, faces, face_tex, s, orig_size)
+    e, zc, meta, tex_b, lo, hi = _band_range_setup(
+        verts_px, faces, face_tex, s, orig_size, cull_mask)
     fp = e.shape[-1]
     n_bands = (s + _BAND_ROWS - 1) // _BAND_ROWS
     p_band = _round_up(_BAND_ROWS * s, 8)

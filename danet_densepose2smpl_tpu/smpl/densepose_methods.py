@@ -14,6 +14,8 @@ inside each patch, the common chart convention).
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import NamedTuple
 
 import numpy as np
@@ -32,9 +34,15 @@ MASK_SYMMETRY = np.array([0, 1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 14], dty
 class UVSymmetry(NamedTuple):
     u_transforms: np.ndarray  # (24, 256, 256)
     v_transforms: np.ndarray  # (24, 256, 256)
+    # True for the chart-mirror stand-in (NOT real chart correspondence);
+    # flipping with it emits a warning, or raises under
+    # DANET_STRICT_DP_SYMMETRY=1.
+    synthetic: bool = False
 
 
 def load_uv_symmetry(mat_path: str) -> UVSymmetry:
+    """Load the official `UV_symmetry_transforms.mat` (24 per-patch 256x256
+    U/V lookup images, reference densepose_methods.py:29-30)."""
     from scipy.io import loadmat
 
     d = loadmat(mat_path)
@@ -43,17 +51,61 @@ def load_uv_symmetry(mat_path: str) -> UVSymmetry:
     return UVSymmetry(u.astype(np.float32), v.astype(np.float32))
 
 
+def find_uv_symmetry(path: str | None = None) -> UVSymmetry | None:
+    """Resolve the official symmetry table: explicit `path`, then the
+    DANET_UV_SYMMETRY env var, then the reference's conventional location
+    (`data/UV_data/UV_symmetry_transforms.mat`, densepose_methods.py:29).
+    Returns None — with a loud one-time warning that DP flip augmentation
+    is disabled — when no table exists."""
+    candidates = [path, os.environ.get("DANET_UV_SYMMETRY"),
+                  os.path.join("data", "UV_data", "UV_symmetry_transforms.mat")]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            return load_uv_symmetry(cand)
+    if path:  # explicitly requested but absent: that's an error, not a warning
+        raise FileNotFoundError(f"UV symmetry table not found: {path}")
+    warnings.warn(
+        "UV_symmetry_transforms.mat not found (checked $DANET_UV_SYMMETRY and "
+        "data/UV_data/). DensePose samples will NOT be flip-augmented; pass "
+        "--uv_symmetry_path or set DANET_UV_SYMMETRY to restore reference "
+        "augmentation parity.", stacklevel=2)
+    return None
+
+
 def synthetic_uv_symmetry() -> UVSymmetry:
-    """Chart-mirror fallback: U -> 1-U, V unchanged, per patch."""
+    """Chart-mirror stand-in: U -> 1-U, V unchanged, per patch. This is NOT
+    the true DensePose chart correspondence (the official tables map points
+    between left/right charts that are parameterized independently); it only
+    keeps asset-free pipelines runnable. Tagged `synthetic=True` so the flip
+    path warns/raises instead of silently producing wrong UV targets."""
     uu = np.linspace(0, 1, 256, dtype=np.float32)
     u_t = np.tile(1.0 - uu[None, :], (256, 1))        # value at (v_loc, u_loc)
     v_t = np.tile(np.linspace(0, 1, 256, dtype=np.float32)[:, None], (1, 256))
-    return UVSymmetry(np.tile(u_t, (24, 1, 1)), np.tile(v_t, (24, 1, 1)))
+    return UVSymmetry(np.tile(u_t, (24, 1, 1)), np.tile(v_t, (24, 1, 1)),
+                      synthetic=True)
+
+
+_warned_synthetic_flip = False
 
 
 def get_symmetric_densepose(I, U, V, x, y, mask, sym: UVSymmetry):
     """Mirror sparse DensePose point annotations + the 256x256 part mask
     (reference densepose_methods.py:31-58). x is in bbox-relative 0..255."""
+    if getattr(sym, "synthetic", False):
+        if os.environ.get("DANET_STRICT_DP_SYMMETRY") == "1":
+            raise RuntimeError(
+                "refusing to flip DensePose annotations with the synthetic "
+                "chart-mirror table under DANET_STRICT_DP_SYMMETRY=1; supply "
+                "the official UV_symmetry_transforms.mat")
+        global _warned_synthetic_flip
+        if not _warned_synthetic_flip:
+            _warned_synthetic_flip = True
+            warnings.warn(
+                "flipping DensePose annotations with the synthetic chart-"
+                "mirror table: U->1-U is NOT the true chart correspondence; "
+                "UV flip targets will deviate from the reference. Supply the "
+                "official UV_symmetry_transforms.mat for parity.",
+                stacklevel=2)
     I = np.asarray(I)
     U = np.asarray(U)
     V = np.asarray(V)

@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--sizes", type=int, nargs="*", default=[56, 224],
                    help="output raster sizes to time (56 = GT IUV render, "
                         "224 = part renderer)")
+    p.add_argument("--cull", action="store_true",
+                   help="race backface culling on a closed mesh instead of "
+                        "the standard atlas race")
     args = p.parse_args(argv)
 
     bench._require_backend()
@@ -82,6 +85,57 @@ def main(argv=None):
         s = float(jnp.sum(out))  # D2H completes only after all iters ran
         dt = (time.perf_counter() - t0) / iters
         return dt, s, out
+
+    if args.cull:
+        # Backface-cull race on a CLOSED mesh (culling is only exact there;
+        # the synthetic atlas is a random soup). Same face count as the real
+        # DensePose mesh.
+        from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import (
+            backface_mask,
+            rasterize_flat_pallas_bandrange,
+        )
+        from danet_densepose2smpl_tpu.smpl.densepose_atlas import (
+            closed_test_mesh,
+            orient_faces,
+        )
+
+        cverts, cfaces = closed_test_mesh(6890)
+        cfaces, conflicts = orient_faces(cfaces, cverts)
+        assert conflicts == 0, conflicts
+        rng = np.random.RandomState(0)
+        for B in args.batches:
+            vb = jnp.asarray(np.stack([
+                cverts * (1 + 0.08 * rng.randn()) + rng.randn(3) * 0.04
+                for _ in range(B)
+            ]).astype(np.float32))
+            cb = jnp.asarray(np.tile([0.9, 0.0, 0.0], (B, 1)).astype(np.float32))
+            vpx = project_weak_perspective(vb, cb, 224.0)
+            cfj = jnp.asarray(cfaces)
+            ctex = jnp.asarray(rng.rand(len(cfaces), 3).astype(np.float32))
+            for S in args.sizes:
+                ref_fn = jax.jit(lambda v: rasterize_flat(v, cfj, ctex, S, 224.0, 1024))
+                nc_fn = jax.jit(lambda v: rasterize_flat_pallas_bandrange(
+                    v, cfj, ctex, S, 224.0))
+                cull_fn = jax.jit(lambda v, vb3: rasterize_flat_pallas_bandrange(
+                    v, cfj, ctex, S, 224.0,
+                    cull_mask=backface_mask(vb3, cb, cfj, 224.0)))
+                dt, _, ref_out = time_fn(ref_fn, vpx)
+                print(json.dumps({"metric": f"raster_closed_xla_b{B}_s{S}",
+                                  "ms": round(dt * 1e3, 3)}), flush=True)
+                for name, fn, a in [("bandrange", nc_fn, (vpx,)),
+                                    ("bandrange_cull", cull_fn, (vpx, vb))]:
+                    try:
+                        dt, _, out = time_fn(fn, *a)
+                    except Exception as e:
+                        print(json.dumps({"metric": f"raster_closed_{name}_b{B}_s{S}",
+                                          "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                              flush=True)
+                        continue
+                    mm = float((np.abs(np.asarray(out) - np.asarray(ref_out)).max(-1) > 1e-5).mean())
+                    print(json.dumps({"metric": f"raster_closed_{name}_b{B}_s{S}",
+                                      "ms": round(dt * 1e3, 3),
+                                      "pixel_mismatch_frac": round(mm, 6)}), flush=True)
+        return
 
     configs = [(b, 56) for b in args.batches if 56 in args.sizes]
     if 224 in args.sizes:

@@ -209,3 +209,98 @@ def test_iuv_surface_roundtrip(rng):
     # the surface point lies within the face's bounding box
     corners = verts[atlas.vert_mapping[atlas.faces[face]]]
     assert (p >= corners.min(0) - 1e-6).all() and (p <= corners.max(0) + 1e-6).all()
+
+
+# --- official UV symmetry table path ----------------------------------------
+
+
+def _write_official_mat(path, rng):
+    """Write a fixture .mat with the EXACT layout of the official
+    `UV_symmetry_transforms.mat`: 1x24 MATLAB cell arrays `U_transforms` /
+    `V_transforms` of 256x256 float64 lookup images (what scipy loads as
+    object arrays indexed d['U_transforms'][0, i])."""
+    from scipy.io import savemat
+
+    u_cells = np.empty((1, 24), dtype=object)
+    v_cells = np.empty((1, 24), dtype=object)
+    for i in range(24):
+        u_cells[0, i] = rng.rand(256, 256)
+        v_cells[0, i] = rng.rand(256, 256)
+    savemat(str(path), {"U_transforms": u_cells, "V_transforms": v_cells})
+    return u_cells, v_cells
+
+
+def test_official_table_flip_matches_reference_semantics(tmp_path, rng):
+    """Byte-level oracle for reference densepose_methods.py:31-58: the flip
+    through a loaded official-format table must equal direct per-point
+    indexing U_transforms[patch-1][int(V*255), int(U*255)] with the patch
+    and mask label swaps."""
+    from danet_densepose2smpl_tpu.smpl.densepose_methods import (
+        MASK_SYMMETRY,
+        load_uv_symmetry,
+    )
+
+    mat = tmp_path / "UV_symmetry_transforms.mat"
+    u_cells, v_cells = _write_official_mat(mat, rng)
+    sym = load_uv_symmetry(str(mat))
+    assert not sym.synthetic
+
+    n = 64
+    I = rng.randint(1, 25, n).astype(np.float64)
+    U = np.concatenate([rng.rand(n - 2), [0.0, 1.0]])  # include both edges
+    V = np.concatenate([rng.rand(n - 2), [1.0, 0.0]])
+    x = rng.rand(n) * 255
+    y = rng.rand(n) * 255
+    mask = rng.randint(0, 15, (256, 256)).astype(np.uint8)
+
+    I2, U2, V2, x2, y2, m2 = get_symmetric_densepose(I, U, V, x, y, mask, sym)
+
+    # independent oracle, straight from the reference's algebra
+    for k in range(n):
+        patch = int(I[k])
+        u_loc = int(U[k] * 255)
+        v_loc = int(V[k] * 255)
+        assert I2[k] == INDEX_SYMMETRY[patch - 1]
+        np.testing.assert_allclose(U2[k], np.float32(u_cells[0, patch - 1][v_loc, u_loc]), rtol=1e-6)
+        np.testing.assert_allclose(V2[k], np.float32(v_cells[0, patch - 1][v_loc, u_loc]), rtol=1e-6)
+    np.testing.assert_array_equal(x2, 256 - x)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(m2, MASK_SYMMETRY[np.fliplr(mask)])
+
+
+def test_find_uv_symmetry_resolution(tmp_path, rng, monkeypatch):
+    from danet_densepose2smpl_tpu.smpl import densepose_methods as dpm
+
+    mat = tmp_path / "sym.mat"
+    _write_official_mat(mat, rng)
+
+    # explicit path wins
+    assert dpm.find_uv_symmetry(str(mat)) is not None
+    # explicit-but-missing is an error, not a silent None
+    with pytest.raises(FileNotFoundError):
+        dpm.find_uv_symmetry(str(tmp_path / "nope.mat"))
+    # env var fallback
+    monkeypatch.setenv("DANET_UV_SYMMETRY", str(mat))
+    assert dpm.find_uv_symmetry() is not None
+    # nothing anywhere -> None with a loud warning
+    monkeypatch.delenv("DANET_UV_SYMMETRY")
+    monkeypatch.chdir(tmp_path)
+    with pytest.warns(UserWarning, match="NOT be flip-augmented"):
+        assert dpm.find_uv_symmetry() is None
+
+
+def test_synthetic_flip_is_loud(monkeypatch):
+    from danet_densepose2smpl_tpu.smpl import densepose_methods as dpm
+
+    sym = synthetic_uv_symmetry()
+    assert sym.synthetic
+    args = (np.array([1.0]), np.array([0.5]), np.array([0.5]),
+            np.array([10.0]), np.array([10.0]), np.zeros((256, 256), np.uint8))
+
+    monkeypatch.setattr(dpm, "_warned_synthetic_flip", False)
+    with pytest.warns(UserWarning, match="chart-.?mirror"):
+        get_symmetric_densepose(*args, sym)
+
+    monkeypatch.setenv("DANET_STRICT_DP_SYMMETRY", "1")
+    with pytest.raises(RuntimeError, match="refusing to flip"):
+        get_symmetric_densepose(*args, sym)

@@ -95,8 +95,12 @@ class DaNetConfig:
     # HRNet stage module (and stem layer1) checkpoints separately: same
     # recompute FLOPs (everything still re-runs exactly once), but only ONE
     # module's activations are ever live in the backward — strictly less
-    # peak HBM, admitting larger batches.
-    remat_scope: str = "backbone"    # 'backbone' | 'modules'
+    # peak HBM, admitting larger batches. 'early' = per-module remat for
+    # stem/stage2/stage3 but stage4 (the FLOP-heaviest ~half of the
+    # backbone) keeps its activations: spends HBM headroom to skip most of
+    # the re-forward FLOPs (r5: the remat re-forward was the largest single
+    # line item left in the B=128 train step).
+    remat_scope: str = "backbone"    # 'backbone' | 'modules' | 'early'
     # Pallas crop+head fusion at inference. Default OFF: the kernel's
     # in-kernel (H, W, C)->(H, W*C) shape cast fails Mosaic vector-layout
     # inference on real v5e hardware (it passes only in interpret mode);
@@ -141,9 +145,10 @@ class DaNetConfig:
             raise ValueError(
                 f"unknown iuv_regressor '{self.iuv_regressor}' (supported: hrnet, resnet)"
             )
-        if self.remat_scope not in ("backbone", "modules"):
+        if self.remat_scope not in ("backbone", "modules", "early"):
             raise ValueError(
-                f"unknown remat_scope '{self.remat_scope}' (supported: backbone, modules)"
+                f"unknown remat_scope '{self.remat_scope}' "
+                "(supported: backbone, modules, early)"
             )
         if self.part_head_chunks < 1 or self.num_patches % self.part_head_chunks:
             raise ValueError(

@@ -149,8 +149,12 @@ class IUVEstimator(nn.Module):
         remat_on = c.remat_backbone and self.train
         # remat_scope='modules' checkpoints each HRNet stage module instead
         # of the whole backbone: same recompute FLOPs, strictly lower peak
-        # HBM (the backward holds one module's activations, not all of them)
-        per_module = remat_on and c.remat_scope == "modules" and c.iuv_regressor == "hrnet"
+        # HBM (the backward holds one module's activations, not all of them).
+        # 'early' additionally EXCLUDES stage4 from remat: its activations
+        # stay live and its re-forward (the heaviest ~half of the backbone
+        # FLOPs) is skipped — HBM headroom spent on step time.
+        per_module = (remat_on and c.remat_scope in ("modules", "early")
+                      and c.iuv_regressor == "hrnet")
         if remat_on and not per_module:
             # jax.checkpoint over the whole backbone: activations are
             # recomputed in the backward pass instead of held in HBM
@@ -164,7 +168,9 @@ class IUVEstimator(nn.Module):
             stages = HRNET_W48_STAGES_PADDED if c.hrnet_pad_channels else HRNET_W48_STAGES
             feats = backbone_cls(
                 stages=stages, train=self.train, axis_name=self.axis_name,
-                remat_modules=per_module, name="backbone",
+                remat_modules=per_module,
+                remat_skip_stages=(4,) if c.remat_scope == "early" else (),
+                name="backbone",
             )(image)
         else:
             feats = backbone_cls(resnet_nums=c.msres_num_layers, train=self.train, axis_name=self.axis_name, name="backbone")(image)

@@ -108,6 +108,11 @@ class PoseHighResolutionNet(nn.Module):
     train: bool = False
     axis_name: str | None = None
     remat_modules: bool = False
+    # stage numbers (2-based, matching the stage{t} param names) whose
+    # modules are NOT rematerialized even when remat_modules is on — their
+    # activations stay live, trading HBM for skipped re-forward FLOPs
+    # (remat_scope='early' passes (4,): stage4 is ~half the backbone FLOPs)
+    remat_skip_stages: Sequence = ()
 
     @nn.compact
     def __call__(self, x):
@@ -141,9 +146,10 @@ class PoseHighResolutionNet(nn.Module):
                 new_xs.append(y)
 
             last_stage = s_idx == len(self.stages) - 1
+            stage_module = HRModule if (t + 1) in tuple(self.remat_skip_stages) else hr_module
             for m in range(num_modules):
                 mso = not (last_stage and m == num_modules - 1)
-                new_xs = hr_module(
+                new_xs = stage_module(
                     num_branches=num_branches,
                     num_blocks=num_blocks,
                     channels=channels,

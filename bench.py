@@ -4,10 +4,13 @@ Prints one labeled JSON line per metric; the LAST line is always the
 serving-inference metric {"metric", "value", "unit", "vs_baseline"} the
 driver parses. Earlier lines record flagship train-step throughput —
 fp32 B=16 (the reference's batch size), bf16+remat at B=64 (the r2/r3
-cross-round anchor) and at B=128 (the r4 high-throughput operating
-point), plus the TRUE full trainer step at B=128 (raw batch, in-jit GT
-prep + raster) — so the training numbers are driver-captured, not just
-self-reported.
+cross-round anchor), the r5 operating point bf16 no-remat +
+part_head_chunks=3 at B=128, and the TRUE full trainer step at B=128
+(raw batch, in-jit GT prep + raster) in both the r4-anchor remat config
+and the r5 config — so the training numbers are driver-captured, not
+just self-reported. A piped serving row (real input pipeline: disk ->
+decode -> H2D -> device preprocess -> forward) runs before the headline
+compute-ceiling row so ingest regressions are driver-visible too.
 
 Inference metric: imgs/sec/chip through the full flagship pipeline (DaNet
 HRNet-W48 + decomposed GCN regressor + SMPL LBS to 6890 vertices), batch
@@ -72,23 +75,45 @@ def bench_train(modes=None):
         modes = [
             ("train_fp32_b16", 16, {}),
             ("train_bf16_remat_b64", 64, {"compute_dtype": "bfloat16", "remat_backbone": True}),
-            # B=128 is the r4 high-throughput operating point: batch scaling
-            # lifted the prepared step 175.8 -> 217.2 imgs/s on the v5e
-            # (PERF.md); the full row is the TRUE trainer step (in-jit GT
-            # prep + 13.8k-face raster)
-            ("train_bf16_remat_b128", 128, {"compute_dtype": "bfloat16", "remat_backbone": True}),
+            # B=128 bf16 is the high-throughput operating point. r5's best
+            # config is NO remat + part-chunked crop+head (chunks=3): the
+            # chunked crop halves the peak-HBM (B,S,S,24C) temps, which is
+            # what lets the no-remat graph fit — measured on the v5e:
+            # remat 332.0 -> noremat+chunks3 359.0 prepared imgs/s,
+            # full (in-jit GT prep + 13.8k-face raster) 271.7 -> 288.7.
+            # The remat full row stays as the r3/r4 cross-round anchor.
+            ("train_bf16_noremat_chunks3_b128", 128,
+             {"compute_dtype": "bfloat16", "part_head_chunks": 3}),
             ("train_full_bf16_remat_b128", 128,
              {"compute_dtype": "bfloat16", "remat_backbone": True}, True),
+            ("train_full_bf16_noremat_chunks3_b128", 128,
+             {"compute_dtype": "bfloat16", "part_head_chunks": 3}, True),
+            # + backface-culled GT raster (exact on closed meshes; the real
+            # SMPL mesh is watertight, so this row uses the closed synthetic
+            # atlas — same 6890/13776 vert/face counts — instead of the
+            # culling-invalid random-soup atlas the other full rows keep for
+            # cross-round comparability)
+            ("train_full_bf16_noremat_chunks3_cull_b128", 128,
+             {"compute_dtype": "bfloat16", "part_head_chunks": 3,
+              "raster_cull": True}, True),
         ]
     for name, batch_size, danet_kw, *rest in modes:
         full = bool(rest and rest[0])
+        danet_kw = dict(danet_kw or {})
+        raster_cull = danet_kw.pop("raster_cull", False)
         cfg = Config(danet=replace(DaNetConfig(), **danet_kw)) if danet_kw else Config()
         model = DaNet(cfg.danet, train=True)
         if full:
             batch = jtu.tree_map(jnp.asarray, synthetic_raw_batch(cfg, batch_size))
+            if raster_cull:
+                from danet_densepose2smpl_tpu.smpl.densepose_atlas import closed_synthetic_atlas
+
+                atlas, cull_verts = closed_synthetic_atlas(smpl.num_verts)
+            else:
+                atlas, cull_verts = synthetic_densepose_atlas(smpl), None
             renderer = IUVRenderer(
-                synthetic_densepose_atlas(smpl),
-                orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size,
+                atlas, orig_size=cfg.danet.img_size,
+                out_size=cfg.danet.heatmap_size, cull_verts=cull_verts,
             )
         else:
             batch = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, batch_size, num_verts=6890))
@@ -179,6 +204,83 @@ def bench_inference(B=256, n_iters=16, danet_kw=None):
     )
 
 
+def bench_inference_piped(B=256, n_batches=6, img_size=320):
+    """Serving throughput fed by the REAL input pipeline (VERDICT r4 next-#6):
+    JPEG files on disk -> host decode threads (PrefetchLoader) -> uint8 full
+    frames H2D -> in-jit device crop/normalize (data/pipeline.
+    device_preprocess) -> bf16 flagship forward + SMPL. Unlike the headline
+    compute-ceiling metric (pre-staged batch), this number moves when ingest
+    regresses. On a 1-core host it is decode-bound (PERF.md ingest section);
+    on a real multi-core TPU host it approaches the compute ceiling."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from danet_densepose2smpl_tpu.core.config import DaNetConfig
+    from danet_densepose2smpl_tpu.data.dataset import NpzDataset
+    from danet_densepose2smpl_tpu.data.loader import PrefetchLoader, ResumableLoader
+    from danet_densepose2smpl_tpu.data.pipeline import device_preprocess
+    from danet_densepose2smpl_tpu.data.synthetic import write_synthetic_dataset
+    from danet_densepose2smpl_tpu.models.danet import DaNet
+    from danet_densepose2smpl_tpu.parallel.mesh import cast_float_tree
+    from danet_densepose2smpl_tpu.smpl import smpl_forward, synthetic_smpl_model
+
+    cfg = DaNetConfig()
+    model = DaNet(cfg, train=False)
+    smpl = synthetic_smpl_model()
+
+    tmp = tempfile.mkdtemp(prefix="danet_piped_bench_")
+    npz, img_dir = write_synthetic_dataset(tmp, n=2 * B, img_size=img_size)
+    ds = NpzDataset(npz, img_dir, name="bench", is_train=False,
+                    heatmap_size=cfg.heatmap_size, return_raw=True)
+    loader = PrefetchLoader(ResumableLoader(ds, B, shuffle=False, drop_last=True))
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, cfg.img_size, cfg.img_size, 3)))
+    variables = cast_float_tree(variables, jnp.bfloat16)
+    smpl_arrays = jtu.tree_map(jnp.asarray, smpl)
+
+    @jax.jit
+    def forward(variables, smpl_arrays, raw, centers, scales):
+        img = device_preprocess(raw, centers, scales, out_size=cfg.img_size)
+        out = model.apply(variables, img.astype(jnp.bfloat16))
+        smpl_out = smpl_forward(smpl_arrays, out["pred_shape"], out["pred_rotmat"])
+        return jnp.sum(smpl_out.vertices) + jnp.sum(out["pred_cam"])
+
+    def batches():
+        epoch = 0
+        while True:
+            for _, b in loader.epoch(epoch):
+                yield b
+            epoch += 1
+
+    it = batches()
+    b0 = next(it)
+    args0 = (jnp.asarray(b0["raw_img"]), jnp.asarray(b0["center"]),
+             jnp.asarray(b0["scale"]))
+    float(forward(variables, smpl_arrays, *args0))  # compile + fetch
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_batches):
+        b = next(it)
+        out = forward(variables, smpl_arrays, jnp.asarray(b["raw_img"]),
+                      jnp.asarray(b["center"]), jnp.asarray(b["scale"]))
+    float(out)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = B * n_batches / dt
+    print(json.dumps({
+        "metric": "danet_e2e_inference_piped_imgs_per_sec",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec/chip",
+        "note": "disk->decode->H2D->device-preprocess->bf16 forward; "
+                "decode-bound on few-core hosts",
+    }), flush=True)
+
+
 def _require_backend(timeout_s: float = 240.0):
     """Fail fast (with a parseable JSON line) if the accelerator backend
     cannot initialize — the tunneled TPU goes down for hours at a time and
@@ -240,6 +342,13 @@ def main():
         except Exception:
             # never let the training bench take down the headline metric
             print(json.dumps({"metric": "danet_train_bench_error",
+                              "value": traceback.format_exc().strip().splitlines()[-1]}),
+                  flush=True)
+    if os.environ.get("BENCH_PIPED", "1") != "0":
+        try:
+            bench_inference_piped()
+        except Exception:
+            print(json.dumps({"metric": "danet_piped_bench_error",
                               "value": traceback.format_exc().strip().splitlines()[-1]}),
                   flush=True)
     bench_inference()

@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the IUV backbone in backward "
                         "(fits batch 64 on 16GB HBM; see PERF.md)")
+    p.add_argument("--raster_cull", action="store_true",
+                   help="backface-cull the GT IUV raster (exact on closed "
+                        "meshes like the real SMPL; auto-disables with a "
+                        "warning if the atlas mesh is unorientable)")
     args = p.parse_args(argv)
     from danet_densepose2smpl_tpu.cli.common import apply_platform
     apply_platform(args)
@@ -140,7 +144,9 @@ def main(argv=None):
     if args.img_size is not None and args.img_size != 224 and not args.device_preprocess:
         train_ds = _Resize(train_ds, args.img_size)
 
-    renderer = IUVRenderer(atlas, orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size)
+    renderer = IUVRenderer(
+        atlas, orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size,
+        cull_verts=smpl.v_template if args.raster_cull else None)
     mesh = make_mesh() if args.data_parallel else None
 
     workdir = os.path.join(args.log_dir, args.name)

@@ -59,41 +59,22 @@ def _face_corners(verts_px: jnp.ndarray, faces: jnp.ndarray, scale: float):
     return xy, tri[..., 2]
 
 
-def rasterize_flat(
-    verts_px: jnp.ndarray,
-    faces: jnp.ndarray,
-    face_tex: jnp.ndarray,
-    out_size: int,
-    orig_size: float = 224.0,
-    chunk: int = 1024,
-) -> jnp.ndarray:
-    """XLA rasterizer. verts_px: (B, V, 3) pixel-space (orig frame);
-    faces: (F, 3) int; face_tex: (F, C). Returns (B, S, S, C), background 0.
-    """
-    b = verts_px.shape[0]
-    s = out_size
-    f_total = faces.shape[0]
-    c = face_tex.shape[-1]
-
-    scale = s / orig_size
-    xy, z = _face_corners(verts_px, faces, scale)   # (B, F, 3, 2), (B, F, 3)
-
-    # pad faces to a chunk multiple with degenerate (skipped) faces
-    pad = (-f_total) % chunk
-    if pad:
-        xy = jnp.pad(xy, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        z = jnp.pad(z, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
-        face_tex = jnp.pad(face_tex, ((0, pad), (0, 0)))
-    n_chunks = (f_total + pad) // chunk
-
-    xy = xy.reshape(b, n_chunks, chunk, 3, 2)
-    z = z.reshape(b, n_chunks, chunk, 3)
-    tex = jnp.asarray(face_tex).reshape(n_chunks, chunk, c)
-
-    # pixel centers (out-map units)
-    px = jnp.arange(s, dtype=verts_px.dtype) + 0.5
+def _pixel_centers(s: int, dtype) -> jnp.ndarray:
+    """(1, S*S, 1, 2) pixel-center coordinates in out-map units."""
+    px = jnp.arange(s, dtype=dtype) + 0.5
     gy, gx = jnp.meshgrid(px, px, indexing="ij")
-    pxy = jnp.stack([gx, gy], axis=-1).reshape(1, s * s, 1, 2)  # (1, P, 1, 2)
+    return jnp.stack([gx, gy], axis=-1).reshape(1, s * s, 1, 2)
+
+
+def _zbuffer_scan(xy: jnp.ndarray, z: jnp.ndarray, pxy: jnp.ndarray) -> jnp.ndarray:
+    """Shared z-buffer core: scan face chunks, carry the winning face INDEX.
+
+    xy: (B, NC, K, 3, 2) chunked corner positions (out-map units),
+    z: (B, NC, K, 3) corner depths, pxy: (1, P, 1, 2) pixel centers.
+    Returns bestid (B, P) int32 — position of the winning face in the
+    flattened chunk order, or the sentinel NC*K for background."""
+    b = xy.shape[0]
+    chunk = xy.shape[2]
 
     def chunk_step(carry, inp):
         zbuf, bestid, offs = carry              # (B, P), (B, P), ()
@@ -145,18 +126,120 @@ def rasterize_flat(
         new_best = jnp.where(better, offs + best, bestid)
         return (new_zbuf, new_best, offs + zmask.shape[-1]), None
 
-    zbuf0 = jnp.full((b, s * s), _BIG, dtype=verts_px.dtype)
-    n_faces_padded = n_chunks * chunk
-    best0 = jnp.full((b, s * s), n_faces_padded, dtype=jnp.int32)
-    (zbuf, bestid, _), _ = jax.lax.scan(
+    p = pxy.shape[1]
+    n_faces_padded = xy.shape[1] * chunk
+    zbuf0 = jnp.full((b, p), _BIG, dtype=xy.dtype)
+    best0 = jnp.full((b, p), n_faces_padded, dtype=jnp.int32)
+    (_, bestid, _), _ = jax.lax.scan(
         chunk_step,
         (zbuf0, best0, jnp.int32(0)),
         (xy.transpose(1, 0, 2, 3, 4), z.transpose(1, 0, 2, 3)),
     )
+    return bestid
+
+
+def rasterize_flat(
+    verts_px: jnp.ndarray,
+    faces: jnp.ndarray,
+    face_tex: jnp.ndarray,
+    out_size: int,
+    orig_size: float = 224.0,
+    chunk: int = 1024,
+) -> jnp.ndarray:
+    """XLA rasterizer. verts_px: (B, V, 3) pixel-space (orig frame);
+    faces: (F, 3) int; face_tex: (F, C). Returns (B, S, S, C), background 0.
+    """
+    b = verts_px.shape[0]
+    s = out_size
+    f_total = faces.shape[0]
+    c = face_tex.shape[-1]
+
+    scale = s / orig_size
+    xy, z = _face_corners(verts_px, faces, scale)   # (B, F, 3, 2), (B, F, 3)
+
+    # pad faces to a chunk multiple with degenerate (skipped) faces
+    pad = (-f_total) % chunk
+    if pad:
+        xy = jnp.pad(xy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        z = jnp.pad(z, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
+        face_tex = jnp.pad(face_tex, ((0, pad), (0, 0)))
+    n_chunks = (f_total + pad) // chunk
+
+    xy = xy.reshape(b, n_chunks, chunk, 3, 2)
+    z = z.reshape(b, n_chunks, chunk, 3)
+
+    bestid = _zbuffer_scan(xy, z, _pixel_centers(s, verts_px.dtype))
     # ONE texture fetch at the end (row n_faces_padded = background zeros)
-    table = jnp.concatenate([tex.reshape(n_faces_padded, c),
+    n_faces_padded = n_chunks * chunk
+    table = jnp.concatenate([jnp.asarray(face_tex).reshape(n_faces_padded, c),
                              jnp.zeros((1, c), face_tex.dtype)], axis=0)
     return table[bestid].reshape(b, s, s, c)
+
+
+def rasterize_flat_culled(
+    verts_px: jnp.ndarray,
+    faces: jnp.ndarray,
+    face_tex: jnp.ndarray,
+    out_size: int,
+    orig_size: float = 224.0,
+    chunk: int = 1024,
+    budget_frac: float = 0.6,
+) -> jnp.ndarray:
+    """Backface-culled XLA rasterizer for CLOSED, consistently-wound meshes.
+
+    Compacts front-facing faces to a static prefix and scans only
+    ceil(budget_frac * F / chunk) chunks — on a closed outward-wound mesh a
+    back-facing face can never be the nearest hit, so culling is exact (up
+    to z-ties, which re-resolve by compacted order instead of face id).
+
+    The front/back test is FREE: for camera-space vertices with all z > 0,
+    sign(projected signed area) == sign(n . P0) == sign(det[P0 P1 P2])
+    (n . P0 = n . centroid since n is normal to the face plane), so the 2D
+    area the inside-test needs anyway doubles as the backface test — no 3D
+    normal pass, no second face gather. Faces with any corner at z <= 0 are
+    invalid for the z-buffer regardless and are excluded from the budget.
+
+    Requires `faces` pre-oriented (smpl/densepose_atlas.orient_faces): with
+    outward winding and the y-down pixel frame of project_weak_perspective,
+    front-facing projects to NEGATIVE signed area. If more than
+    budget_frac * F faces are live (non-closed geometry, heavy LBS
+    self-intersection), the highest-index live faces are silently dropped —
+    callers can watch `IUVRenderer.live_fraction`. Replaces the reference's
+    render-everything neural_renderer path (`utils/renderer.py:251-298`)
+    with strictly less work at identical output.
+    """
+    b = verts_px.shape[0]
+    s = out_size
+    f_total = faces.shape[0]
+    c = face_tex.shape[-1]
+
+    budget = int(-(-int(budget_frac * f_total) // chunk)) * chunk
+    if budget >= f_total:
+        return rasterize_flat(verts_px, faces, face_tex, out_size, orig_size, chunk)
+
+    scale = s / orig_size
+    tri = verts_px[:, faces, :]                    # (B, F, 3, 3) shared-index
+    # area sign is scale-invariant: test on unscaled pixel coords
+    v0, v1, v2 = tri[:, :, 0, :2], tri[:, :, 1, :2], tri[:, :, 2, :2]
+    area = (v1[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1]) - (
+        v1[..., 1] - v0[..., 1]) * (v2[..., 0] - v0[..., 0])   # (B, F)
+    z_ok = (tri[..., 2] > 0).all(-1)
+    dead = (area >= 0) | ~z_ok                     # True = cull
+    order = jnp.argsort(dead, axis=1, stable=True)             # live first
+    tri = jnp.take_along_axis(tri, order[:, :budget, None, None], axis=1)
+
+    n_chunks = budget // chunk
+    xy = (tri[..., :2] * scale).reshape(b, n_chunks, chunk, 3, 2)
+    z = tri[..., 2].reshape(b, n_chunks, chunk, 3)
+
+    bestid = _zbuffer_scan(xy, z, _pixel_centers(s, verts_px.dtype))
+    # bestid indexes the compacted order; remap to original face ids, then
+    # one GLOBAL texture fetch (background -> appended zero row)
+    looked = jnp.take_along_axis(order, jnp.minimum(bestid, f_total - 1), axis=1)
+    orig = jnp.where(bestid >= budget, f_total, looked)
+    table = jnp.concatenate([jnp.asarray(face_tex),
+                             jnp.zeros((1, c), face_tex.dtype)], axis=0)
+    return table[orig].reshape(b, s, s, c)
 
 
 class IUVRenderer:
@@ -171,16 +254,22 @@ class IUVRenderer:
         backend: str = "xla",
         chunk: int = 1024,
         cull_verts: np.ndarray | None = None,
+        cull_budget_frac: float = 0.6,
     ):
         """backend: 'xla' | 'pallas' | 'pallas_bandrange'.
 
         cull_verts: template SMPL vertices (V, 3). When given (and the mesh
         orients cleanly), faces are rewound to a consistent outward winding
         at init and each call skips back-facing faces exactly — on a closed
-        mesh they can never win a z-test (kernels/rasterizer_pallas.py::
-        backface_mask). Only the bandrange backend converts the skip into
-        saved work (culled faces leave every band's chunk range); for other
-        backends culling is ignored.
+        mesh they can never win a z-test. The xla backend compacts live
+        faces to a static cull_budget_frac * F prefix and scans ~40% fewer
+        chunks (rasterize_flat_culled; the backface test is free — it reuses
+        the inside-test's signed area); the bandrange backend drops culled
+        faces from every band's chunk range. The plain pallas backend
+        ignores culling. cull_budget_frac bounds the live faces kept per
+        batch item: ~0.5 are live on a closed mesh under any view (front/
+        back area balance), 0.6 leaves headroom for self-intersecting poses;
+        `live_fraction` reports the actual value for observability.
         """
         self.atlas = atlas
         self.orig_size = float(orig_size)
@@ -207,6 +296,17 @@ class IUVRenderer:
                     "rendering preserved)", stacklevel=2)
         self._faces = jnp.asarray(faces)
         self._face_tex = jnp.asarray(atlas.face_textures)
+        self.cull_budget_frac = float(cull_budget_frac)
+
+    def live_fraction(self, verts: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
+        """(B,) fraction of faces that survive backface+z culling — must stay
+        below cull_budget_frac or the culled rasterizer drops live faces."""
+        from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import backface_mask
+
+        dp_verts = verts[:, self._vert_mapping, :]
+        mask = backface_mask(dp_verts, cam, self._faces,
+                             self.orig_size, self.focal_length)
+        return 1.0 - mask.mean(axis=-1)
 
     def __call__(self, verts: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
         """verts: (B, 6890, 3) SMPL vertices; cam: (B, 3) weak-perspective.
@@ -232,6 +332,11 @@ class IUVRenderer:
             return rasterize_flat_pallas_bandrange(
                 verts_px, self._faces, self._face_tex, self.out_size,
                 self.orig_size, cull_mask=mask,
+            )
+        if self.cull:
+            return rasterize_flat_culled(
+                verts_px, self._faces, self._face_tex, self.out_size,
+                self.orig_size, self.chunk, self.cull_budget_frac,
             )
         return rasterize_flat(
             verts_px, self._faces, self._face_tex, self.out_size, self.orig_size, self.chunk

@@ -256,13 +256,17 @@ class IUVEstimator(nn.Module):
             out["part_iuv"] = PartialIUVHead(name="partial_head")(
                 fused_inputs=(feats, wy, wx)
             )
-        elif not self.train and c.part_head_chunks > 1:
-            # serving-memory mode: the (B, S, S, 24*C) crop tensor is the
-            # peak-HBM driver at large batch (B=512 bf16 = 3.7 GB of crops).
-            # Crop+head runs per part chunk, order-forced through an
-            # optimization_barrier so XLA cannot co-schedule the chunks —
-            # peak crop memory divides by part_head_chunks. Same params,
-            # same numerics as the one-shot path.
+        elif c.part_head_chunks > 1:
+            # chunked-memory mode: the (B, S, S, 24*C) crop tensor (and its
+            # 2.3x-lane-padded einsum intermediate — the minor w=56 dim pads
+            # to 128) is the peak-HBM driver at large batch (B=512 bf16
+            # serving = 3.7 GB of crops; B=128 bf16 TRAINING without
+            # backbone remat = 2x1.97 GB temps, the allocation that OOM'd
+            # no-remat by 127 MB in r5). Crop+head runs per part chunk,
+            # order-forced through an optimization_barrier (identity under
+            # autodiff, so the training path shares it) — peak crop memory
+            # divides by part_head_chunks. Same params, same numerics as
+            # the one-shot path.
             head = PartialIUVHead(name="partial_head")
             pc = 24 // c.part_head_chunks
             chunk_outs = []

@@ -193,3 +193,26 @@ def synthetic_densepose_atlas(model: SMPLModel, seed: int = 0) -> DensePoseAtlas
         u_norm=rng.rand(nv).astype(np.float32),
         v_norm=rng.rand(nv).astype(np.float32),
     )
+
+
+def closed_synthetic_atlas(num_verts: int = 6890, seed: int = 0):
+    """(DensePoseAtlas, template verts (V, 3)) over `closed_test_mesh` — the
+    culling-valid counterpart of `synthetic_densepose_atlas` (whose random
+    triangle soup can never legitimately enable backface culling). Same
+    vertex/face counts as the real watertight SMPL mesh at the default size
+    (6890 verts, 13776 faces), so rasterizer benchmarks on it are
+    shape-faithful to production with real assets. Patch ids 1..24 are
+    assigned by vertical body band (any valid id layout works for the IUV
+    texture plumbing); chart UVs are random like the soup atlas's."""
+    rng = np.random.RandomState(seed)
+    verts, faces = closed_test_mesh(num_verts, seed=seed)
+    nv = len(verts)
+    y = verts[faces[:, 0], 1]
+    band = np.clip(((y - y.min()) / max(np.ptp(y), 1e-6) * 24).astype(np.int32), 0, 23)
+    return DensePoseAtlas(
+        vert_mapping=np.arange(nv, dtype=np.int32),
+        faces=faces,
+        face_indices=band + 1,
+        u_norm=rng.rand(nv).astype(np.float32),
+        v_norm=rng.rand(nv).astype(np.float32),
+    ), verts

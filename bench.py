@@ -101,6 +101,7 @@ def bench_train(modes=None):
         full = bool(rest and rest[0])
         danet_kw = dict(danet_kw or {})
         raster_cull = danet_kw.pop("raster_cull", False)
+        cull_budget_frac = danet_kw.pop("cull_budget_frac", 0.6)
         cfg = Config(danet=replace(DaNetConfig(), **danet_kw)) if danet_kw else Config()
         model = DaNet(cfg.danet, train=True)
         if full:
@@ -114,6 +115,7 @@ def bench_train(modes=None):
             renderer = IUVRenderer(
                 atlas, orig_size=cfg.danet.img_size,
                 out_size=cfg.danet.heatmap_size, cull_verts=cull_verts,
+                cull_budget_frac=cull_budget_frac,
             )
         else:
             batch = jtu.tree_map(jnp.asarray, synthetic_batch(cfg, batch_size, num_verts=6890))

@@ -57,6 +57,10 @@ def main(argv=None):
                    help="backface-cull the GT IUV raster (exact on closed "
                         "meshes like the real SMPL; auto-disables with a "
                         "warning if the atlas mesh is unorientable)")
+    p.add_argument("--raster_cull_budget", type=float, default=0.6,
+                   help="fraction of faces the culled raster keeps per item "
+                        "(~0.5 are front-facing on a closed mesh; lower = "
+                        "faster, with live_fraction observability)")
     args = p.parse_args(argv)
     from danet_densepose2smpl_tpu.cli.common import apply_platform
     apply_platform(args)
@@ -146,7 +150,8 @@ def main(argv=None):
 
     renderer = IUVRenderer(
         atlas, orig_size=cfg.danet.img_size, out_size=cfg.danet.heatmap_size,
-        cull_verts=smpl.v_template if args.raster_cull else None)
+        cull_verts=smpl.v_template if args.raster_cull else None,
+        cull_budget_frac=args.raster_cull_budget)
     mesh = make_mesh() if args.data_parallel else None
 
     workdir = os.path.join(args.log_dir, args.name)

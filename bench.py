@@ -101,7 +101,7 @@ def bench_train(modes=None):
         full = bool(rest and rest[0])
         danet_kw = dict(danet_kw or {})
         raster_cull = danet_kw.pop("raster_cull", False)
-        cull_budget_frac = danet_kw.pop("cull_budget_frac", 0.6)
+        cull_budget_frac = danet_kw.pop("cull_budget_frac", 0.55)
         cfg = Config(danet=replace(DaNetConfig(), **danet_kw)) if danet_kw else Config()
         model = DaNet(cfg.danet, train=True)
         if full:

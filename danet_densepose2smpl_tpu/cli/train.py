@@ -57,7 +57,7 @@ def main(argv=None):
                    help="backface-cull the GT IUV raster (exact on closed "
                         "meshes like the real SMPL; auto-disables with a "
                         "warning if the atlas mesh is unorientable)")
-    p.add_argument("--raster_cull_budget", type=float, default=0.6,
+    p.add_argument("--raster_cull_budget", type=float, default=0.55,
                    help="fraction of faces the culled raster keeps per item "
                         "(~0.5 are front-facing on a closed mesh; lower = "
                         "faster, with live_fraction observability)")

@@ -183,7 +183,7 @@ def rasterize_flat_culled(
     out_size: int,
     orig_size: float = 224.0,
     chunk: int = 1024,
-    budget_frac: float = 0.6,
+    budget_frac: float = 0.55,
 ) -> jnp.ndarray:
     """Backface-culled XLA rasterizer for CLOSED, consistently-wound meshes.
 
@@ -254,7 +254,7 @@ class IUVRenderer:
         backend: str = "xla",
         chunk: int = 1024,
         cull_verts: np.ndarray | None = None,
-        cull_budget_frac: float = 0.6,
+        cull_budget_frac: float = 0.55,
     ):
         """backend: 'xla' | 'pallas' | 'pallas_bandrange'.
 
@@ -268,8 +268,13 @@ class IUVRenderer:
         faces from every band's chunk range. The plain pallas backend
         ignores culling. cull_budget_frac bounds the live faces kept per
         batch item: ~0.5 are live on a closed mesh under any view (front/
-        back area balance), 0.6 leaves headroom for self-intersecting poses;
-        `live_fraction` reports the actual value for observability.
+        back area balance; measured over 1536 articulated poses at 2x
+        training pose scale: mean 0.499, max 0.5075 —
+        scripts/probe_live_fraction.py), and the budget rounds UP to a
+        whole chunk, so 0.55 keeps ~0.595F at the 13,776-face atlas —
+        still >17% headroom over the worst observed pose while scanning
+        one fewer chunk than 0.6 did. `live_fraction` reports the actual
+        value for observability.
         """
         self.atlas = atlas
         self.orig_size = float(orig_size)

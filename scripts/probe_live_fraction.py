@@ -7,8 +7,11 @@ silently loses faces (reference renders everything:
 The shipped budget_frac=0.6 rounds UP to 9 chunks = 0.669F at the
 13,776-face atlas. One fewer chunk (8 = 0.595F) is ~11% less raster work;
 this probe measures whether articulated-pose live fractions leave that
-margin, via the exact training path (prepare_targets: pseudo-fit merge ->
-SMPL forward -> WLS camera -> live_fraction on target_verts/target_cam).
+margin: SMPL forward on random axis-angle poses (at 1x and a stressed 2x
+the synthetic-training pose scale) -> backface_mask over realistic
+weak-perspective cameras. (prepare_targets was deliberately skipped: its
+full GT graph takes minutes of cold remote compile and adds nothing to a
+front/back area-balance statistic.)
 
 Run: python -m scripts.probe_live_fraction [--batches 40] [--batch 128]
 """
@@ -29,38 +32,42 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import jax.tree_util as jtu
 
-    from danet_densepose2smpl_tpu.core.config import Config
-    from danet_densepose2smpl_tpu.data.synthetic import synthetic_raw_batch
-    from danet_densepose2smpl_tpu.kernels.rasterizer import IUVRenderer
+    from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import backface_mask
     from danet_densepose2smpl_tpu.smpl import synthetic_smpl_model
     from danet_densepose2smpl_tpu.smpl.densepose_atlas import closed_synthetic_atlas
-    from danet_densepose2smpl_tpu.train.prepare import prepare_targets
+    from danet_densepose2smpl_tpu.smpl.model import smpl_forward_aa
 
-    cfg = Config()
     smpl = synthetic_smpl_model()
     atlas, cull_verts = closed_synthetic_atlas(smpl.num_verts)
-    renderer = IUVRenderer(atlas, orig_size=cfg.danet.img_size,
-                           cull_verts=cull_verts)
-    assert renderer.cull
+    from danet_densepose2smpl_tpu.smpl.densepose_atlas import orient_faces
+
+    faces, conflicts = orient_faces(atlas.faces, cull_verts[atlas.vert_mapping])
+    assert conflicts == 0
+    fj = jnp.asarray(faces)
+    vmap_idx = jnp.asarray(atlas.vert_mapping)
 
     @jax.jit
-    def live_frac(batch):
-        prepared = prepare_targets(cfg, smpl, batch)
-        return renderer.live_fraction(prepared["target_verts"],
-                                      prepared["target_cam"])
+    def live_frac(pose, betas, cam):
+        out = smpl_forward_aa(smpl, betas, pose)
+        dp_verts = out.vertices[:, vmap_idx, :]
+        mask = backface_mask(dp_verts, cam, fj, 224.0)
+        return 1.0 - mask.mean(axis=-1)
 
-    f_total = int(atlas.faces.shape[0])
+    f_total = int(faces.shape[0])
     for label, pose_scale in [("train_like", 1.0), ("stress_2x", 2.0)]:
         fracs = []
         for seed in range(args.batches):
-            raw = synthetic_raw_batch(cfg, args.batch, seed=seed)
-            if pose_scale != 1.0:
-                raw["pose"] = (raw["pose"] * pose_scale).astype(np.float32)
-                raw["opt_pose"] = (raw["opt_pose"] * pose_scale).astype(np.float32)
-            batch = jtu.tree_map(jnp.asarray, raw)
-            fracs.append(np.asarray(live_frac(batch)))
+            rng = np.random.RandomState(seed)
+            pose = jnp.asarray((rng.randn(args.batch, 72) * 0.3 * pose_scale).astype(np.float32))
+            betas = jnp.asarray((rng.randn(args.batch, 10) * 0.5).astype(np.float32))
+            # weak-perspective cams over the trainer's realistic range
+            cam = jnp.asarray(np.stack([
+                rng.uniform(0.6, 1.2, args.batch),
+                rng.uniform(-0.2, 0.2, args.batch),
+                rng.uniform(-0.2, 0.2, args.batch),
+            ], axis=-1).astype(np.float32))
+            fracs.append(np.asarray(live_frac(pose, betas, cam)))
         fr = np.concatenate(fracs)
         print(json.dumps({
             "metric": f"live_fraction_{label}",

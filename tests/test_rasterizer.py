@@ -328,7 +328,7 @@ def test_iuv_renderer_xla_cull_and_live_fraction(rng):
     """IUVRenderer(backend='xla', cull_verts=...) on the closed synthetic
     atlas: output matches the uncalled renderer exactly, and live_fraction
     stays near 0.5 (the closed-mesh front/back balance) with headroom under
-    the 0.6 budget across random bodies."""
+    the default cull budget across random bodies."""
     from danet_densepose2smpl_tpu.smpl.densepose_atlas import closed_synthetic_atlas
 
     atlas, verts = closed_synthetic_atlas(700, seed=4)

@@ -66,17 +66,27 @@ def load_metrics(workdir, name):
 
 
 def final_params(workdir, name):
-    """Template-free orbax restore: both runs saved the same topology, and
-    the comparison below touches every leaf, so a mismatch cannot hide."""
+    """Template-free orbax restore, platform-agnostic: restore every leaf
+    as np.ndarray so the saved shardings (which name the *saving*
+    process's devices — axon TPU for the real run, TFRT_CPU for the smoke)
+    are never deserialized; a template-free `mngr.restore(step)` fails with
+    'Device ... was not found in jax.local_devices()' whenever the reading
+    process's platform differs. Both runs saved the same topology, and the
+    comparison below touches every leaf, so a mismatch cannot hide."""
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
     import orbax.checkpoint as ocp
 
     mngr = ocp.CheckpointManager(
         os.path.abspath(os.path.join(workdir, name, "checkpoints")))
     step = mngr.latest_step()
     assert step is not None, f"no checkpoint for {name}"
-    out = mngr.restore(step)
+    path = os.path.join(workdir, name, "checkpoints", str(step), "default")
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    out = ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     return out["state"], out["resume"]
 
 

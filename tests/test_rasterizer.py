@@ -324,6 +324,30 @@ def test_rasterize_flat_culled_budget_fallthrough():
     np.testing.assert_array_equal(a, b)
 
 
+def test_chunk_size_invariance():
+    """Scan chunk size is a pure performance knob: outputs are bit-identical
+    across chunk sizes for both the plain and the culled scan. Ties resolve
+    to the earliest (compacted/global) face index regardless of how faces
+    are grouped into chunks — within a chunk argmin takes the first minimum,
+    across chunks the strict `<` keeps the earlier chunk — and the culled
+    budget (ceil(budget_frac*F/chunk)*chunk) covers every live face at any
+    of these chunk sizes. Guards the chunk retuning in
+    scripts/probe_raster_chunk.py."""
+    from danet_densepose2smpl_tpu.kernels.rasterizer import rasterize_flat_culled
+
+    vb, cam, fj, tex = _closed_fixture(600, seed=5, B=2)
+    vpx = project_weak_perspective(vb, cam, 224.0)
+    ref_plain = np.asarray(rasterize_flat(vpx, fj, tex, 32, 224.0, 128))
+    ref_cull = np.asarray(rasterize_flat_culled(vpx, fj, tex, 32, 224.0, 128, 0.6))
+    np.testing.assert_array_equal(ref_plain[ref_cull[..., 0] >= 0], ref_cull[ref_cull[..., 0] >= 0])
+    for chunk in (64, 256, 512):
+        np.testing.assert_array_equal(
+            ref_plain, np.asarray(rasterize_flat(vpx, fj, tex, 32, 224.0, chunk)))
+        np.testing.assert_array_equal(
+            ref_cull,
+            np.asarray(rasterize_flat_culled(vpx, fj, tex, 32, 224.0, chunk, 0.6)))
+
+
 def test_iuv_renderer_xla_cull_and_live_fraction(rng):
     """IUVRenderer(backend='xla', cull_verts=...) on the closed synthetic
     atlas: output matches the uncalled renderer exactly, and live_fraction

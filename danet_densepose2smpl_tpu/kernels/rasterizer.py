@@ -32,6 +32,21 @@ from danet_densepose2smpl_tpu.smpl.densepose_atlas import DensePoseAtlas
 _BIG = 1e9
 
 
+def camera_space(
+    verts: jnp.ndarray,
+    cam: jnp.ndarray,
+    orig_size: float = 224.0,
+    focal_length: float = FOCAL_LENGTH,
+) -> jnp.ndarray:
+    """SMPL-space vertices -> camera-space points for the weak-perspective
+    (s, tx, ty) model: translate by (tx, ty, 2f/(orig*s)). The ONE place the
+    camera model lives — the projection below and the Pallas backface mask
+    both build on it, so they can never drift apart."""
+    tz = 2.0 * focal_length / (orig_size * cam[:, 0] + 1e-9)
+    t = jnp.stack([cam[:, 1], cam[:, 2], tz], axis=-1)
+    return verts + t[:, None, :]
+
+
 def project_weak_perspective(
     verts: jnp.ndarray,
     cam: jnp.ndarray,
@@ -41,9 +56,7 @@ def project_weak_perspective(
     """SMPL-space vertices + weak-perspective (s, tx, ty) -> pixel-space
     (x, y, z) in the orig_size image frame (reference `camera_matrix` +
     projection, `utils/renderer.py:211-232,279-298`)."""
-    tz = 2.0 * focal_length / (orig_size * cam[:, 0] + 1e-9)
-    t = jnp.stack([cam[:, 1], cam[:, 2], tz], axis=-1)
-    p = verts + t[:, None, :]
+    p = camera_space(verts, cam, orig_size, focal_length)
     f = focal_length * (orig_size / 224.0)
     c = orig_size / 2.0
     x = f * p[..., 0] / p[..., 2] + c
@@ -176,6 +189,21 @@ def rasterize_flat(
     return table[bestid].reshape(b, s, s, c)
 
 
+def dead_faces(verts_px: jnp.ndarray, faces: jnp.ndarray):
+    """((B, F, 3, 3) corner gather, (B, F) True = cull) — the culled
+    rasterizer's exact dead set: back-facing (projected signed area >= 0 on
+    a pre-oriented mesh) OR any corner at z <= 0 (invalid for the z-buffer
+    regardless). Shared with `IUVRenderer.live_fraction` so the
+    observability number can never drift from what the budget drops."""
+    tri = verts_px[:, faces, :]                    # (B, F, 3, 3) shared-index
+    # area sign is scale-invariant: test on unscaled pixel coords
+    v0, v1, v2 = tri[:, :, 0, :2], tri[:, :, 1, :2], tri[:, :, 2, :2]
+    area = (v1[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1]) - (
+        v1[..., 1] - v0[..., 1]) * (v2[..., 0] - v0[..., 0])   # (B, F)
+    z_ok = (tri[..., 2] > 0).all(-1)
+    return tri, (area >= 0) | ~z_ok
+
+
 def rasterize_flat_culled(
     verts_px: jnp.ndarray,
     faces: jnp.ndarray,
@@ -213,18 +241,18 @@ def rasterize_flat_culled(
     f_total = faces.shape[0]
     c = face_tex.shape[-1]
 
-    budget = int(-(-int(budget_frac * f_total) // chunk)) * chunk
+    # The live-faces margin is part of the EXACTNESS contract (see the
+    # live-fraction note above), so the budget must not tighten when the
+    # pure-perf `chunk` knob shrinks: round to a fixed 1024 granularity
+    # first (0.595F at the 13,776-face atlas, the r5-proven margin), then
+    # up to a chunk multiple (a no-op for every chunk that divides 1024).
+    budget = int(-(-int(budget_frac * f_total) // 1024)) * 1024
+    budget = int(-(-budget // chunk)) * chunk
     if budget >= f_total:
         return rasterize_flat(verts_px, faces, face_tex, out_size, orig_size, chunk)
 
     scale = s / orig_size
-    tri = verts_px[:, faces, :]                    # (B, F, 3, 3) shared-index
-    # area sign is scale-invariant: test on unscaled pixel coords
-    v0, v1, v2 = tri[:, :, 0, :2], tri[:, :, 1, :2], tri[:, :, 2, :2]
-    area = (v1[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1]) - (
-        v1[..., 1] - v0[..., 1]) * (v2[..., 0] - v0[..., 0])   # (B, F)
-    z_ok = (tri[..., 2] > 0).all(-1)
-    dead = (area >= 0) | ~z_ok                     # True = cull
+    tri, dead = dead_faces(verts_px, faces)
     order = jnp.argsort(dead, axis=1, stable=True)             # live first
     tri = jnp.take_along_axis(tri, order[:, :budget, None, None], axis=1)
 
@@ -305,13 +333,14 @@ class IUVRenderer:
 
     def live_fraction(self, verts: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
         """(B,) fraction of faces that survive backface+z culling — must stay
-        below cull_budget_frac or the culled rasterizer drops live faces."""
-        from danet_densepose2smpl_tpu.kernels.rasterizer_pallas import backface_mask
-
+        below cull_budget_frac or the culled rasterizer drops live faces.
+        Uses `dead_faces`, the culled rasterizer's own test, so the reported
+        fraction is exactly the set the budget operates on."""
         dp_verts = verts[:, self._vert_mapping, :]
-        mask = backface_mask(dp_verts, cam, self._faces,
-                             self.orig_size, self.focal_length)
-        return 1.0 - mask.mean(axis=-1)
+        verts_px = project_weak_perspective(dp_verts, cam, self.orig_size,
+                                            self.focal_length)
+        _, dead = dead_faces(verts_px, self._faces)
+        return 1.0 - dead.mean(axis=-1)
 
     def __call__(self, verts: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
         """verts: (B, 6890, 3) SMPL vertices; cam: (B, 3) weak-perspective.

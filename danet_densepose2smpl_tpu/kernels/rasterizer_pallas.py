@@ -201,10 +201,11 @@ def backface_mask(verts: jnp.ndarray, cam: jnp.ndarray, faces: jnp.ndarray,
     `smpl.densepose_atlas.orient_faces`) such faces can never be the first
     hit along any view ray, so the rasterizer may skip them exactly.
     `verts` are SMPL-space vertices, `cam` the weak-perspective (s, tx, ty)
-    — the same camera model as `project_weak_perspective`."""
-    tz = 2.0 * focal_length / (orig_size * cam[:, 0] + 1e-9)
-    t = jnp.stack([cam[:, 1], cam[:, 2], tz], axis=-1)
-    p = verts + t[:, None, :]                                  # camera space
+    — the same camera model as `project_weak_perspective` (shared via
+    `rasterizer.camera_space`)."""
+    from danet_densepose2smpl_tpu.kernels.rasterizer import camera_space
+
+    p = camera_space(verts, cam, orig_size, focal_length)
     tri = p[:, faces, :]                                       # (B, F, 3, 3)
     n = jnp.cross(tri[:, :, 1] - tri[:, :, 0], tri[:, :, 2] - tri[:, :, 0])
     centroid = tri.mean(axis=2)

@@ -41,8 +41,11 @@ class DensePoseAtlas(NamedTuple):
         return np.stack([self.face_indices / num_part, u, v], axis=1).astype(np.float32)
 
 
-def orient_faces(faces: np.ndarray, verts: np.ndarray) -> np.ndarray:
-    """Return `faces` with a globally consistent outward winding.
+def orient_faces(faces: np.ndarray, verts: np.ndarray) -> tuple[np.ndarray, int]:
+    """Return `(faces, conflicts)`: the face table rewound to a globally
+    consistent outward winding, and the number of edges whose two incident
+    faces could not be made consistent (0 on an orientable mesh; callers
+    must treat nonzero as "culling unsafe").
 
     Winding consistency is what makes projected-signed-area backface culling
     valid in the rasterizer (kernels/rasterizer_pallas.py, cull option); the

@@ -57,13 +57,15 @@ def find_uv_symmetry(path: str | None = None) -> UVSymmetry | None:
     (`data/UV_data/UV_symmetry_transforms.mat`, densepose_methods.py:29).
     Returns None — with a loud one-time warning that DP flip augmentation
     is disabled — when no table exists."""
-    candidates = [path, os.environ.get("DANET_UV_SYMMETRY"),
+    if path:  # explicitly requested: never fall through to another table
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"UV symmetry table not found: {path}")
+        return load_uv_symmetry(path)
+    candidates = [os.environ.get("DANET_UV_SYMMETRY"),
                   os.path.join("data", "UV_data", "UV_symmetry_transforms.mat")]
     for cand in candidates:
         if cand and os.path.exists(cand):
             return load_uv_symmetry(cand)
-    if path:  # explicitly requested but absent: that's an error, not a warning
-        raise FileNotFoundError(f"UV symmetry table not found: {path}")
     warnings.warn(
         "UV_symmetry_transforms.mat not found (checked $DANET_UV_SYMMETRY and "
         "data/UV_data/). DensePose samples will NOT be flip-augmented; pass "

@@ -68,7 +68,7 @@ def main():
 
         for kind, fn in (("plain", rasterize_flat), ("culled", rasterize_flat_culled)):
             ref = None
-            for chunk in (1024, 256, 512, 2048):  # production baseline first
+            for chunk in (1024, 64, 128, 256, 512, 2048):  # baseline first
                 j = jax.jit(lambda v, _c=chunk, _f=fn: _f(v, fj, tex, S, 224.0, _c))
                 ms = timed(j, vpx)
                 got = np.asarray(j(vpx))
